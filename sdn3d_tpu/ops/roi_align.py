@@ -1,0 +1,70 @@
+"""CropAndResize (ROIAlign) — TF-style bilinear box crop.
+
+TPU-native equivalent of the C/CUDA extension in
+geometric/maskrcnn/roialign/roi_align/src/crop_and_resize_kernel.cu:10-83:
+boxes in normalized (y1, x1, y2, x2) with corner-aligned sampling
+(in_y = y1*(H-1) + i*step), bilinear interpolation, zero extrapolation
+outside the image.  Pure gather formulation — XLA autodiff provides the
+backward-to-image scatter (the reference's :84-167) for free.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def crop_and_resize(
+    image: jnp.ndarray,      # [B, H, W, C]
+    boxes: jnp.ndarray,      # [N, 4] normalized (y1, x1, y2, x2)
+    box_indices: jnp.ndarray,  # [N] int — image index per box
+    crop_size: tuple[int, int],
+    extrapolation_value: float = 0.0,
+) -> jnp.ndarray:
+    """Returns crops [N, crop_h, crop_w, C]."""
+    B, H, W, C = image.shape
+    ch, cw = crop_size
+    y1, x1, y2, x2 = jnp.moveaxis(boxes.astype(jnp.float32), -1, 0)
+
+    # Corner-aligned sample positions (crop_and_resize_kernel.cu:28-44).
+    if ch > 1:
+        hs = (y2 - y1) * (H - 1) / (ch - 1)
+        in_y = y1[:, None] * (H - 1) + hs[:, None] * jnp.arange(ch)[None, :]
+    else:
+        in_y = 0.5 * (y1 + y2)[:, None] * (H - 1) * jnp.ones((1, ch))
+    if cw > 1:
+        ws = (x2 - x1) * (W - 1) / (cw - 1)
+        in_x = x1[:, None] * (W - 1) + ws[:, None] * jnp.arange(cw)[None, :]
+    else:
+        in_x = 0.5 * (x1 + x2)[:, None] * (W - 1) * jnp.ones((1, cw))
+
+    valid_y = (in_y >= 0) & (in_y <= H - 1)               # [N, ch]
+    valid_x = (in_x >= 0) & (in_x <= W - 1)               # [N, cw]
+
+    y0 = jnp.clip(jnp.floor(in_y), 0, H - 1)
+    x0 = jnp.clip(jnp.floor(in_x), 0, W - 1)
+    y_lerp = in_y - y0
+    x_lerp = in_x - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    y1i = jnp.clip(y0i + 1, 0, H - 1)
+    x1i = jnp.clip(x0i + 1, 0, W - 1)
+
+    imgs = image[box_indices]                              # [N, H, W, C]
+
+    def gather(yy, xx):
+        # yy [N, ch], xx [N, cw] -> [N, ch, cw, C]
+        rows = jnp.take_along_axis(imgs, yy[:, :, None, None], axis=1)
+        # rows [N, ch, W, C]; now take columns
+        return jnp.take_along_axis(rows, xx[:, None, :, None], axis=2)
+
+    tl = gather(y0i, x0i)
+    tr = gather(y0i, x1i)
+    bl = gather(y1i, x0i)
+    br = gather(y1i, x1i)
+
+    top = tl + (tr - tl) * x_lerp[:, None, :, None]
+    bot = bl + (br - bl) * x_lerp[:, None, :, None]
+    out = top + (bot - top) * y_lerp[:, :, None, None]
+
+    valid = (valid_y[:, :, None] & valid_x[:, None, :])[..., None]
+    return jnp.where(valid, out, extrapolation_value)

@@ -1,0 +1,1 @@
+from sdn3d_tpu.render.renderer import RenderType, render, Renderer

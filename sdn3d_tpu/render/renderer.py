@@ -1,0 +1,115 @@
+"""Mesh renderer: camera orchestration + rasterization.
+
+Single-program re-expression of the reference's two-framework stack
+(geometric/derender3d/models/renderer.py: torch->numpy->chainer bridge per
+call, + geometric/neural_renderer/renderer.py).  The whole path — x-flip fix,
+fill_back, normals, look, perspective, rasterize — is one jittable JAX
+function; the reference's per-call GPU->CPU->GPU copies (renderer.py:130-150)
+do not exist here.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Optional
+
+import jax.numpy as jnp
+
+from sdn3d_tpu.geometry import camera
+from sdn3d_tpu.ops import rasterize as R
+
+
+class RenderType(enum.IntEnum):
+    """derender3d/models/renderer.py:12-16."""
+    RGB = 0
+    Silhouette = 1
+    Depth = 2
+    Normal = 3
+
+
+def _fill_back(faces: jnp.ndarray, face_valid: Optional[jnp.ndarray]):
+    """Duplicate every face with reversed winding (renderer.py:22-23)."""
+    both = jnp.concatenate([faces, faces[:, :, ::-1]], axis=1)
+    if face_valid is not None:
+        face_valid = jnp.concatenate([face_valid, face_valid], axis=1)
+    return both, face_valid
+
+
+def render(
+    vertices: jnp.ndarray,
+    faces: jnp.ndarray,
+    render_type: RenderType = RenderType.Silhouette,
+    face_valid: Optional[jnp.ndarray] = None,
+    image_size: int = 256,
+    viewing_angle=30.0,
+    anti_aliasing: bool = True,
+    fill_back: bool = True,
+    near: float = R.DEFAULT_NEAR,
+    far: float = R.DEFAULT_FAR,
+    eps: float = R.DEFAULT_EPS,
+) -> jnp.ndarray:
+    """Render [B, V, 3] vertices + [B, F, 3] int faces to 2.5D maps.
+
+    Camera is the fixed derender3d camera: eye at origin, looking along -z,
+    up +y (renderer.py:226-229), with the reference's x-axis-flip fix applied
+    first (renderer.py:241-243).  `viewing_angle` may be per-batch [B].
+
+    Returns [B, 1, H, W] for Silhouette/Depth, [B, 3, H, W] for Normal.
+    """
+    # x-flip fix (renderer.py:241-243)
+    vertices = vertices * jnp.asarray([-1.0, 1.0, 1.0], vertices.dtype)
+
+    if fill_back:
+        faces, face_valid = _fill_back(faces, face_valid)
+
+    if render_type == RenderType.Normal:
+        # Per-face normals from pre-camera vertices, NMR texture-cube
+        # convention (renderer.py:60-77); back copies get negated normals.
+        fv = camera.vertices_to_faces(vertices, faces)
+        colors = camera.face_normals(fv)                       # [B, F2, 3]
+
+    # look: eye=0, direction=(0,0,-1), up=(0,1,0) -> x->-x, z->-z
+    eye = jnp.zeros((vertices.shape[0], 3), vertices.dtype)
+    direction = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, -1.0], vertices.dtype), (vertices.shape[0], 3))
+    up = jnp.broadcast_to(
+        jnp.asarray([0.0, 1.0, 0.0], vertices.dtype), (vertices.shape[0], 3))
+    vertices = camera.look(vertices, eye, direction, up)
+
+    vertices = camera.perspective_divide(vertices, viewing_angle)
+    face_verts = camera.vertices_to_faces(vertices, faces)
+
+    if render_type == RenderType.Silhouette:
+        a = R.rasterize_silhouettes(face_verts, face_valid, image_size,
+                                    anti_aliasing, near, far, eps)
+        return a[:, None]
+    if render_type == RenderType.Depth:
+        d = R.rasterize_depth(face_verts, face_valid, image_size,
+                              anti_aliasing, near, far)
+        return d[:, None]
+    if render_type == RenderType.Normal:
+        rgb = R.rasterize_face_colors(face_verts, colors, face_valid,
+                                      image_size, anti_aliasing, near, far)
+        # Final x negation (derender3d renderer.py:268-271).
+        return rgb * jnp.asarray([-1.0, 1.0, 1.0],
+                                 rgb.dtype)[None, :, None, None]
+    raise NotImplementedError(f"render_type {render_type}")
+
+
+class Renderer:
+    """Convenience stateful wrapper mirroring derender3d Renderer(Module)."""
+
+    def __init__(self, image_size: int = 256, viewing_angle: float = 30.0,
+                 anti_aliasing: bool = True):
+        self.image_size = image_size
+        self.viewing_angle = viewing_angle
+        self.anti_aliasing = anti_aliasing
+
+    def __call__(self, vertices, faces, render_type=RenderType.Silhouette,
+                 face_valid=None, viewing_angle=None):
+        return render(
+            vertices, faces, render_type, face_valid,
+            image_size=self.image_size,
+            viewing_angle=(self.viewing_angle if viewing_angle is None
+                           else viewing_angle),
+            anti_aliasing=self.anti_aliasing)

@@ -1,0 +1,126 @@
+"""NMS + CropAndResize parity tests (reference:
+geometric/maskrcnn/nms/src/nms.c, roialign/.../crop_and_resize.c)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from sdn3d_tpu.ops.nms import nms, nms_padded, iou_matrix
+from sdn3d_tpu.ops.roi_align import crop_and_resize
+
+
+def nms_oracle(boxes, threshold):
+    """Greedy suppression loop (nms.c:4-68 semantics, boxes pre-sorted)."""
+    N = len(boxes)
+    keep = []
+    suppressed = np.zeros(N, bool)
+    areas = (boxes[:, 2] - boxes[:, 0] + 1) * (boxes[:, 3] - boxes[:, 1] + 1)
+    for i in range(N):
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        for j in range(i + 1, N):
+            yy1 = max(boxes[i, 0], boxes[j, 0])
+            xx1 = max(boxes[i, 1], boxes[j, 1])
+            yy2 = min(boxes[i, 2], boxes[j, 2])
+            xx2 = min(boxes[i, 3], boxes[j, 3])
+            inter = max(0, yy2 - yy1 + 1) * max(0, xx2 - xx1 + 1)
+            iou = inter / (areas[i] + areas[j] - inter)
+            if iou > threshold:
+                suppressed[j] = True
+    return keep
+
+
+def random_boxes(rng, n):
+    lo = rng.uniform(0, 80, (n, 2))
+    hi = lo + rng.uniform(1, 40, (n, 2))
+    return np.concatenate([lo, hi], 1).astype(np.float32)
+
+
+def test_nms_matches_oracle():
+    rng = np.random.RandomState(0)
+    boxes = random_boxes(rng, 64)
+    for thr in (0.3, 0.5, 0.7):
+        keep = np.asarray(nms(jnp.asarray(boxes), thr))
+        expected = np.zeros(64, bool)
+        expected[nms_oracle(boxes, thr)] = True
+        np.testing.assert_array_equal(keep, expected)
+
+
+def test_nms_padded_sorts_and_compacts():
+    rng = np.random.RandomState(1)
+    boxes = random_boxes(rng, 32)
+    scores = rng.rand(32).astype(np.float32)
+    idx, valid = nms_padded(jnp.asarray(boxes), jnp.asarray(scores), 0.5,
+                            max_out=10)
+    idx, valid = np.asarray(idx), np.asarray(valid)
+
+    order = np.argsort(-scores)
+    expected = [order[k] for k in nms_oracle(boxes[order], 0.5)][:10]
+    n = len(expected)
+    assert valid[:n].all() and not valid[n:].any()
+    np.testing.assert_array_equal(idx[:n], expected)
+
+
+def test_iou_matrix_diagonal():
+    rng = np.random.RandomState(2)
+    boxes = random_boxes(rng, 8)
+    m = np.asarray(iou_matrix(jnp.asarray(boxes)))
+    np.testing.assert_allclose(np.diag(m), 1.0, rtol=1e-6)
+
+
+def crop_oracle(image, boxes, box_idx, crop, extrapolation=0.0):
+    """crop_and_resize.c:6-92 semantics."""
+    B, H, W, C = image.shape
+    N = len(boxes)
+    ch, cw = crop
+    out = np.full((N, ch, cw, C), extrapolation, np.float32)
+    for n in range(N):
+        y1, x1, y2, x2 = boxes[n]
+        img = image[box_idx[n]]
+        for i in range(ch):
+            in_y = (0.5 * (y1 + y2) * (H - 1) if ch == 1 else
+                    y1 * (H - 1) + i * (y2 - y1) * (H - 1) / (ch - 1))
+            if in_y < 0 or in_y > H - 1:
+                continue
+            for j in range(cw):
+                in_x = (0.5 * (x1 + x2) * (W - 1) if cw == 1 else
+                        x1 * (W - 1) + j * (x2 - x1) * (W - 1) / (cw - 1))
+                if in_x < 0 or in_x > W - 1:
+                    continue
+                ty, by = int(np.floor(in_y)), int(np.ceil(in_y))
+                lx, rx = int(np.floor(in_x)), int(np.ceil(in_x))
+                yl, xl = in_y - ty, in_x - lx
+                top = img[ty, lx] + (img[ty, rx] - img[ty, lx]) * xl
+                bot = img[by, lx] + (img[by, rx] - img[by, lx]) * xl
+                out[n, i, j] = top + (bot - top) * yl
+    return out
+
+
+def test_crop_and_resize_matches_oracle():
+    rng = np.random.RandomState(3)
+    image = rng.rand(2, 13, 17, 3).astype(np.float32)
+    boxes = np.array([
+        [0.1, 0.2, 0.8, 0.9],
+        [0.0, 0.0, 1.0, 1.0],
+        [-0.2, 0.3, 0.5, 1.2],   # partially outside -> extrapolation
+        [0.6, 0.5, 0.3, 0.4],    # inverted box (negative span)
+    ], np.float32)
+    box_idx = np.array([0, 1, 0, 1], np.int32)
+    got = np.asarray(crop_and_resize(jnp.asarray(image), jnp.asarray(boxes),
+                                     jnp.asarray(box_idx), (7, 7)))
+    want = crop_oracle(image, boxes, box_idx, (7, 7))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_crop_and_resize_gradient_flows():
+    import jax
+    image = jnp.ones((1, 8, 8, 1))
+    boxes = jnp.asarray([[0.2, 0.2, 0.7, 0.7]])
+
+    def f(img):
+        return crop_and_resize(img, boxes, jnp.zeros(1, jnp.int32),
+                               (4, 4)).sum()
+
+    g = jax.grad(f)(image)
+    assert float(jnp.abs(g).sum()) > 0
