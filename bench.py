@@ -30,14 +30,22 @@ def main():
     from sdn3d_tpu.data.synthetic import make_sphere_mesh
     from sdn3d_tpu.geometry.transforms import (
         perspective_transform, y_rotation_quaternion)
-    from sdn3d_tpu.render import RenderType, render
+    from sdn3d_tpu.render import render_targets
 
     # Workload: 16 objects (the reference's per-image cap,
-    # geometric/scripts/main.py:812) x sphere mesh, 256^2 renders with AA
-    # (rasterized at 512^2), silhouette + normal + depth like mode=extend.
+    # geometric/scripts/main.py:812) x a real ShapeNet car (~40k faces,
+    # doubled by fill_back), 256^2 renders with AA (rasterized at 512^2),
+    # silhouette + normal + depth like mode=extend.
     B = 16
     image_size = 256
-    verts_np, faces_np = make_sphere_mesh(16, 32)       # ~1k faces
+    try:
+        from sdn3d_tpu.geometry.assets import load_shapenet_bank
+        bank = load_shapenet_bank("/root/reference/geometric/assets")
+        nv, nf = int(bank.num_vertices[0]), int(bank.num_faces[0])
+        verts_np = bank.vertices[0, :nv]
+        faces_np = bank.faces[0, :nf]
+    except Exception:
+        verts_np, faces_np = make_sphere_mesh(64, 128)   # ~16k-face fallback
 
     rng = np.random.RandomState(0)
     verts = jnp.asarray(np.repeat(verts_np[None], B, 0))
@@ -47,26 +55,32 @@ def main():
         np.stack([rng.uniform(-1, 1, B), rng.uniform(-0.5, 0.5, B),
                   -rng.uniform(5, 12, B)], 1).astype(np.float32))
 
-    def step(verts, thetas, trans):
+    # NOTE: faces must be a jit ARGUMENT — closure-constant index arrays
+    # trigger pathological constant-folding in the TPU compiler.
+    def step(verts, faces, thetas, trans):
         q = y_rotation_quaternion(thetas)
         vcam, _ = perspective_transform(
             verts, scales=jnp.ones((B, 3)), rotations=q, translations=trans,
             perspective_translations=trans, zoom_tos=jnp.full((B, 1), 0.5))
-        sil = render(vcam, faces, RenderType.Silhouette,
-                     image_size=image_size)
-        nrm = render(vcam, faces, RenderType.Normal, image_size=image_size)
-        dep = render(vcam, faces, RenderType.Depth, image_size=image_size)
-        return sil, nrm, dep
+        maps = render_targets(vcam, faces,
+                              ("silhouette", "normal", "depth"),
+                              image_size=image_size)
+        return maps["silhouette"], maps["normal"], maps["depth"]
 
     step_jit = jax.jit(step)
-    out = step_jit(verts, thetas, trans)
-    jax.block_until_ready(out)
+    out = step_jit(verts, faces, thetas, trans)
+    np.asarray(out[0])  # force warmup execution + fetch
 
-    n_iters = 10
+    # Measurement notes for this remote-relay TPU environment:
+    #  - inputs MUST vary per iteration (identical executions are cached);
+    #  - block_until_ready does not actually synchronize; materializing an
+    #    output to numpy is the only reliable fence, so the loop is fenced
+    #    once at the end (device execution is serialized on one stream).
+    n_iters = 5
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = step_jit(verts, thetas, trans)
-    jax.block_until_ready(out)
+    for i in range(n_iters):
+        out = step_jit(verts, faces, thetas + 0.01 * (i + 1), trans)
+    np.asarray(out[0])
     dt = time.perf_counter() - t0
 
     objects_per_sec = B * n_iters / dt

@@ -10,9 +10,9 @@ a single jit.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict, Optional, Tuple
 
+import flax
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -21,7 +21,7 @@ import numpy as np
 from sdn3d_tpu.geometry import ffd as ffd_mod
 from sdn3d_tpu.geometry.transforms import perspective_transform
 from sdn3d_tpu.models.resnet import ResNetClassifier
-from sdn3d_tpu.render import RenderType, render
+from sdn3d_tpu.render import RenderType, render, render_targets
 
 
 class TargetType:
@@ -95,9 +95,14 @@ class Derenderer(nn.Module):
         }
 
 
-@dataclasses.dataclass
+@flax.struct.dataclass
 class DeviceMeshBank:
-    """MeshBank moved to device as jnp arrays (see geometry/assets.py)."""
+    """MeshBank moved to device as jnp arrays (see geometry/assets.py).
+
+    A pytree, so it can (and must) be threaded through jit as an ARGUMENT —
+    closing over it as a constant triggers minutes-long constant folding in
+    the TPU compiler.
+    """
     vertices: jnp.ndarray    # [M, V, 3]
     faces: jnp.ndarray       # [M, F, 3]
     face_valid: jnp.ndarray  # [M, F]
@@ -247,17 +252,35 @@ def render_blob(
     out["_class_log_probs"] = logp
     out["_zooms"] = zooms
 
-    out["_masks"] = render(verts_cam, faces, RenderType.Silhouette,
-                           face_valid, image_size=render_size,
-                           viewing_angle=viewing_angle)
-    if mode & TargetType.normal:
-        out["_normals"] = render(verts_cam, faces, RenderType.Normal,
-                                 face_valid, image_size=render_size,
-                                 viewing_angle=viewing_angle)
-    if mode & TargetType.depth:
-        out["_depth_maps"] = render(verts_cam, faces, RenderType.Depth,
-                                    face_valid, image_size=render_size,
-                                    viewing_angle=viewing_angle)
+    if training:
+        # Differentiable silhouettes (custom-VJP edge gradients) for the
+        # reproject mask loss; normal/depth renders are not used in any
+        # training loss (scripts/main.py:136-152).
+        out["_masks"] = render(verts_cam, faces, RenderType.Silhouette,
+                               face_valid, image_size=render_size,
+                               viewing_angle=viewing_angle)
+        if mode & TargetType.normal:
+            out["_normals"] = render(verts_cam, faces, RenderType.Normal,
+                                     face_valid, image_size=render_size,
+                                     viewing_angle=viewing_angle)
+        if mode & TargetType.depth:
+            out["_depth_maps"] = render(verts_cam, faces, RenderType.Depth,
+                                        face_valid, image_size=render_size,
+                                        viewing_angle=viewing_angle)
+    else:
+        targets = ["silhouette"]
+        if mode & TargetType.normal:
+            targets.append("normal")
+        if mode & TargetType.depth:
+            targets.append("depth")
+        maps = render_targets(verts_cam, faces, tuple(targets), face_valid,
+                              image_size=render_size,
+                              viewing_angle=viewing_angle)
+        out["_masks"] = maps["silhouette"]
+        if "normal" in maps:
+            out["_normals"] = maps["normal"]
+        if "depth" in maps:
+            out["_depth_maps"] = maps["depth"]
     return out
 
 

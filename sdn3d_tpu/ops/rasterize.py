@@ -107,15 +107,37 @@ def rasterize_face_maps(
     near: float = DEFAULT_NEAR,
     far: float = DEFAULT_FAR,
     return_face_inv: bool = True,
+    impl: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Forward rasterization to per-pixel maps (non-differentiable primitive).
 
     faces: [B, F, 3, 3]; face_valid: [B, F] bool or None.
+    impl: "pallas" (tiled TPU kernel), "xla" (portable scan), or "auto"
+    (pallas on TPU when the size is tile-aligned).
     Returns (face_index [B,H,W] int32 (-1 = background),
              weight     [B,H,W,3],
              depth      [B,H,W]  (background = far),
              face_inv   [B,H,W,3,3]).
     """
+    if impl == "auto":
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        impl = "pallas" if (on_tpu and image_size % 128 == 0) else "xla"
+    if impl in ("pallas", "pallas_interp"):
+        from sdn3d_tpu.ops import rasterize_pallas as RP
+        packed, chunk_bbox, perm = RP.pack_faces(faces, face_valid,
+                                                 image_size)
+        fi, depth = RP.rasterize_face_index_pallas(
+            packed, chunk_bbox, image_size, near, far,
+            interpret=(impl == "pallas_interp"))
+        if perm is not None:
+            # face indices refer to Morton-sorted order; map back.
+            hit = fi >= 0
+            fi_flat = jax.vmap(lambda pb, fb: pb[fb])(
+                perm, jnp.where(hit, fi, 0).reshape(fi.shape[0], -1))
+            fi = jnp.where(hit, fi_flat.reshape(fi.shape), -1)
+        w, inv = RP.recompute_pixel_attributes(faces, fi, image_size)
+        return fi, w, depth, inv
+
     B, F = faces.shape[:2]
     P = image_size * image_size
     faces = faces.astype(_f32)

@@ -122,15 +122,23 @@ class DerenderTrainer:
         return loss
 
     def make_train_step(self):
+        """Returns train_step(state, batch, rng, bank).
+
+        `bank` must be passed through jit as an argument (closure-constant
+        mesh arrays stall the TPU compiler's constant folder)."""
         def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
-                       rng: jax.Array
+                       rng: jax.Array,
+                       bank: Optional[DeviceMeshBank] = None
                        ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+            if bank is None:
+                bank = self.bank
+
             def loss_fn(params):
                 variables = {"params": params,
                              "batch_stats": state.batch_stats}
                 blob = derender_forward(
                     variables, self.model, batch["images"],
-                    batch["roi_norms"], batch["focals"], self.bank,
+                    batch["roi_norms"], batch["focals"], bank,
                     self.mode, self.image_size, self.render_size,
                     training=True, rng=rng, mutable=["batch_stats"])
                 loss_dict = self.losses(blob, batch)
@@ -153,13 +161,16 @@ class DerenderTrainer:
         return train_step
 
     def make_eval_step(self):
-        def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]
+        def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                      bank: Optional[DeviceMeshBank] = None
                       ) -> Dict[str, jnp.ndarray]:
+            if bank is None:
+                bank = self.bank
             variables = {"params": state.params,
                          "batch_stats": state.batch_stats}
             blob = derender_forward(
                 variables, self.model, batch["images"], batch["roi_norms"],
-                batch["focals"], self.bank, self.mode, self.image_size,
+                batch["focals"], bank, self.mode, self.image_size,
                 self.render_size, training=False)
             return self.losses(blob, batch)
 

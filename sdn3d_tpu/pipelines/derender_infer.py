@@ -1,0 +1,250 @@
+"""Geometric-branch inference: detections -> de-render -> (optional
+silhouette refinement) -> edit ops -> batched re-render -> composite.
+
+Re-expression of geometric/scripts/main.py:_test (:325-622).  Objects are
+padded to `max_objects` slots; every per-object Python loop of the
+reference becomes a batched device computation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sdn3d_tpu.data import vkitti as VK
+from sdn3d_tpu.models.derenderer import (
+    Derenderer, DeviceMeshBank, TargetType, render_blob)
+from sdn3d_tpu.pipelines import edit as edit_mod
+from sdn3d_tpu.render import render, RenderType
+
+
+@dataclasses.dataclass
+class DerenderInferConfig:
+    image_size: int = 256
+    render_size: int = 384
+    max_objects: int = 16
+    num_opts: int = 0
+    opt_lr: float = 3e-2          # main.py:438
+    ffd_opt_reg: float = 100.0    # main.py:445
+    mode: int = TargetType.extend
+
+
+def prepare_objects(image_rgb: np.ndarray, rois: np.ndarray,
+                    image_masks: np.ndarray, class_ids: np.ndarray,
+                    cfg: DerenderInferConfig,
+                    all_interested: bool = False) -> Dict[str, np.ndarray]:
+    """Host-side packing of per-object crops to padded slots
+    (main.py:344-392).  image_masks [N, 1, H, W]; rois [N, 4] pixel."""
+    n = len(class_ids)
+    M = cfg.max_objects
+    assert n <= M, (n, M)
+
+    rgbs = np.zeros((M, cfg.image_size, cfg.image_size, 3), np.float32)
+    masks = np.zeros((M, cfg.render_size, cfg.render_size), np.float32)
+    rois_pad = np.zeros((M, 4), np.float32)
+    valid = np.zeros((M,), bool)
+    for i in range(n):
+        rgbs[i] = VK.transform_rgb(image_rgb, rois[i], cfg.image_size)
+        masks[i] = VK.transform_mask(image_masks[i, 0], rois[i],
+                                     cfg.render_size)
+        rois_pad[i] = rois[i]
+        valid[i] = True
+
+    mask_areas = image_masks[:, 0].sum(axis=(1, 2))
+    interests = np.zeros((M,), np.uint8)
+    interests[:n] = edit_mod.compute_interests(class_ids, mask_areas,
+                                               all_interested)
+
+    roi_norms = VK.roi_norms_from_rois(rois_pad)
+    return {
+        "rgbs": rgbs,
+        "masks": masks[:, None],                  # [M, 1, R, R]
+        "roi_norms": roi_norms,
+        "focals": np.full((M, 1), VK.Camera.focal, np.float32),
+        "valid": valid,
+        "interests": interests,
+        "class_ids": np.pad(class_ids.astype(np.int32), (0, M - n)),
+        "num_objs": n,
+    }
+
+
+def encode_objects(variables, model: Derenderer, objs: Dict[str, np.ndarray],
+                   cfg: DerenderInferConfig) -> Dict[str, jnp.ndarray]:
+    """Run the derenderer encoder over all object slots (main.py:385-402)."""
+    roi_norms = jnp.asarray(objs["roi_norms"])
+    mroi = jnp.stack([roi_norms[:, 2] + roi_norms[:, 0],
+                      roi_norms[:, 3] + roi_norms[:, 1]], axis=1) / 2.0
+    droi = jnp.stack([roi_norms[:, 2] - roi_norms[:, 0],
+                      roi_norms[:, 3] - roi_norms[:, 1]], axis=1)
+    blob = {
+        "_roi_norms": roi_norms,
+        "_mroi_norms": mroi,
+        "_droi_norms": droi,
+        "_focals": jnp.asarray(objs["focals"]),
+    }
+    enc = model.apply(variables, jnp.asarray(objs["rgbs"]), mroi, droi,
+                      train=False)
+    blob.update(enc)
+    return blob
+
+
+def build_default_ignores(image_masks: np.ndarray, log_depths: np.ndarray,
+                          droi_norms: np.ndarray) -> np.ndarray:
+    """Occlusion ignore maps from predicted depth ordering
+    (main.py:405-414): each object ignores pixels covered by any
+    nearer-sorted object."""
+    depths = log_depths[:, 0] - np.log(droi_norms).sum(axis=1)
+    index = np.argsort(depths)
+    sorted_masks = np.concatenate(
+        [np.zeros_like(image_masks[:1]), image_masks[index]], axis=0)[:-1]
+    cum = np.clip(np.cumsum(sorted_masks, axis=0), 0, 1)
+    out = np.zeros_like(image_masks)
+    out[index] = cum
+    return out
+
+
+def refine_silhouettes(blob: Dict[str, jnp.ndarray], bank: DeviceMeshBank,
+                       masks: jnp.ndarray, ignores: Optional[jnp.ndarray],
+                       cfg: DerenderInferConfig) -> Dict[str, jnp.ndarray]:
+    """Test-time optimization of pose/shape against detected masks
+    (main.py:420-459): Adam(3e-2) over theta/translation2d/log_scale/ffd,
+    argmax class, silhouette MSE + 100 * mean(ffd^2), ignore-masked."""
+    opt_keys = ["_theta_deltas", "_translation2ds", "_log_scales",
+                "_ffd_coeffs"]
+    params0 = {k: blob[k] for k in opt_keys}
+    frozen = {k: jax.lax.stop_gradient(v) for k, v in blob.items()}
+
+    def loss_fn(p, bank):
+        b = dict(frozen)
+        b.update(p)
+        # model.train() + _force_no_sample=True during refinement
+        # (main.py:424-425): training-mode projection, argmax class.
+        out = render_blob(b, bank, TargetType.reproject, cfg.image_size,
+                          cfg.render_size, training=True,
+                          force_no_sample=True)
+        l = (out["_masks"] - masks) ** 2 + cfg.ffd_opt_reg * jnp.mean(
+            p["_ffd_coeffs"] ** 2)
+        if ignores is not None:
+            l = l * (1 - ignores)
+        return jnp.mean(l)
+
+    opt = optax.adam(cfg.opt_lr)
+
+    @jax.jit
+    def step(p, state, bank):
+        l, g = jax.value_and_grad(loss_fn)(p, bank)
+        updates, state = opt.update(g, state)
+        return optax.apply_updates(p, updates), state, l
+
+    p = params0
+    state = opt.init(p)
+    for _ in range(cfg.num_opts):
+        p, state, _ = step(p, state, bank)
+
+    out = dict(blob)
+    out.update({k: jax.lax.stop_gradient(v) for k, v in p.items()})
+    return out
+
+
+def derender_image(
+    variables,
+    model: Derenderer,
+    bank: DeviceMeshBank,
+    image_rgb: np.ndarray,
+    class_ids: np.ndarray,
+    image_masks: np.ndarray,
+    rois: np.ndarray,
+    cfg: Optional[DerenderInferConfig] = None,
+    operations: Optional[List[dict]] = None,
+    image_ignores: Optional[np.ndarray] = None,
+    all_interested: bool = False,
+    metas: Optional[List[dict]] = None,
+) -> Dict[str, object]:
+    """Full single-image geometric inference (main.py:325-622).
+
+    Returns dict with: instance_map [H, W] int32, normal_map [3, H, W],
+    depth_map [H, W] in [0,1], json_obj (per-object class/depth/alpha),
+    state (3D pkl equivalent), interests.
+    """
+    cfg = cfg or DerenderInferConfig()
+    H, W = image_rgb.shape[:2]
+
+    objs = prepare_objects(image_rgb, rois, image_masks, class_ids, cfg,
+                           all_interested)
+    blob = encode_objects(variables, model, objs, cfg)
+
+    if cfg.num_opts:
+        if image_ignores is None:
+            image_ignores_full = build_default_ignores(
+                image_masks, np.asarray(blob["_log_depths"])[:len(rois)],
+                np.asarray(blob["_droi_norms"])[:len(rois)])
+        else:
+            image_ignores_full = image_ignores
+        M = cfg.max_objects
+        ign = np.zeros((M, cfg.render_size, cfg.render_size), np.float32)
+        for i in range(len(rois)):
+            ign[i] = VK.transform_mask(image_ignores_full[i, 0], rois[i],
+                                       cfg.render_size)
+        blob = refine_silhouettes(blob, bank, jnp.asarray(objs["masks"]),
+                                  jnp.asarray(ign[:, None]), cfg)
+
+    interests = objs["interests"].copy()
+    interests = interests * objs["valid"]
+    if operations:
+        n = objs["num_objs"]
+        pairs = edit_mod.match_operations(
+            np.asarray(blob["_mroi_norms"])[:n], operations)
+        blob, interests_n = edit_mod.apply_operations(
+            blob, interests[:n], operations, pairs)
+        interests = np.concatenate(
+            [interests_n, interests[n:]]).astype(np.uint8)
+
+    out = render_blob(blob, bank, cfg.mode, cfg.image_size, cfg.render_size,
+                      training=False)
+
+    inst, nrm, dep = edit_mod.composite_objects(
+        out["_masks"], out.get("_normals", jnp.zeros_like(
+            jnp.repeat(out["_masks"], 3, 1))),
+        out.get("_depth_maps", jnp.ones_like(out["_masks"]) * 100.0),
+        out["_center2ds"], out["_zooms"], out["_depths"],
+        jnp.asarray(interests), height=H, width=W,
+        render_size=cfg.render_size)
+
+    json_obj = {}
+    depths_np = np.asarray(out["_depths"])
+    alphas_np = np.asarray(out["_alphas"])
+    for i in range(objs["num_objs"]):
+        if interests[i]:
+            entry = {
+                "class_id": int(objs["class_ids"][i]),
+                "depth": float(depths_np[i, 0]),
+                "alpha": float(alphas_np[i, 0]),
+            }
+            if metas is not None:
+                entry.update(metas[i])
+            json_obj[i + 1] = entry
+
+    state = {
+        "num_objs": objs["num_objs"],
+        "rois": rois,
+        "interests": interests,
+        "_scales": np.asarray(out["_scales"]),
+        "_rotations": np.asarray(out["_rotations"]),
+        "_translations": np.asarray(out["_translations"]),
+        "_zooms": np.asarray(out["_zooms"]),
+        "_class_samples": np.asarray(out["_class_samples"]),
+    }
+
+    return {
+        "instance_map": np.asarray(inst),
+        "normal_map": np.asarray(nrm),
+        "depth_map": np.asarray(dep),
+        "json_obj": json_obj,
+        "state": state,
+        "interests": interests,
+    }

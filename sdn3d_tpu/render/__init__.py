@@ -1,1 +1,2 @@
-from sdn3d_tpu.render.renderer import RenderType, render, Renderer
+from sdn3d_tpu.render.renderer import (
+    RenderType, render, render_targets, Renderer)

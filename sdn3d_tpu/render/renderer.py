@@ -13,6 +13,7 @@ from __future__ import annotations
 import enum
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from sdn3d_tpu.geometry import camera
@@ -94,6 +95,75 @@ def render(
         return rgb * jnp.asarray([-1.0, 1.0, 1.0],
                                  rgb.dtype)[None, :, None, None]
     raise NotImplementedError(f"render_type {render_type}")
+
+
+def render_targets(
+    vertices: jnp.ndarray,
+    faces: jnp.ndarray,
+    targets=("silhouette", "normal", "depth"),
+    face_valid: Optional[jnp.ndarray] = None,
+    image_size: int = 256,
+    viewing_angle=30.0,
+    anti_aliasing: bool = True,
+    fill_back: bool = True,
+    near: float = R.DEFAULT_NEAR,
+    far: float = R.DEFAULT_FAR,
+) -> dict:
+    """Render several 2.5D targets from ONE rasterization.
+
+    The reference rasterizes separately per target
+    (derender3d renderer.py render_silhouettes/render_normal/render_depth
+    each run the full CUDA pipeline); here silhouette/normal/depth all
+    derive from a single face-index/depth map — a ~3x saving on the hot
+    path.  Non-differentiable (inference/edit path); training uses
+    `render` whose silhouette/depth carry custom VJPs.
+    """
+    vertices = vertices * jnp.asarray([-1.0, 1.0, 1.0], vertices.dtype)
+    if fill_back:
+        faces, face_valid = _fill_back(faces, face_valid)
+
+    if "normal" in targets:
+        fv0 = camera.vertices_to_faces(vertices, faces)
+        colors = camera.face_normals(fv0)                  # [B, F2, 3]
+
+    B = vertices.shape[0]
+    eye = jnp.zeros((B, 3), vertices.dtype)
+    direction = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, -1.0], vertices.dtype), (B, 3))
+    up = jnp.broadcast_to(
+        jnp.asarray([0.0, 1.0, 0.0], vertices.dtype), (B, 3))
+    vcam = camera.look(vertices, eye, direction, up)
+    vcam = camera.perspective_divide(vcam, viewing_angle)
+    face_verts = camera.vertices_to_faces(vcam, faces)
+
+    size = image_size * 2 if anti_aliasing else image_size
+    fi, _, depth, _ = R.rasterize_face_maps(
+        jax.lax.stop_gradient(face_verts), face_valid, size, near, far,
+        return_face_inv=False)
+
+    def finish(img, spatial_axis):
+        img = jnp.flip(img, axis=spatial_axis)
+        if anti_aliasing:
+            s = img.shape
+            img = img.reshape(s[:-2] + (s[-2] // 2, 2, s[-1] // 2, 2))
+            img = img.mean(axis=(-3, -1))
+        return img
+
+    out = {}
+    if "silhouette" in targets:
+        out["silhouette"] = finish((fi >= 0).astype(jnp.float32), 1)[:, None]
+    if "depth" in targets:
+        out["depth"] = finish(depth, 1)[:, None]
+    if "normal" in targets:
+        hit = fi >= 0
+        fi_c = jnp.where(hit, fi, 0)
+        rgb = jax.vmap(lambda cb, fb: cb[fb])(colors, fi_c)  # [B, H, W, 3]
+        rgb = jnp.where(hit[..., None], rgb, 0.0)
+        rgb = jnp.moveaxis(rgb, -1, 1)                        # [B, 3, H, W]
+        rgb = finish(rgb, 2)
+        out["normal"] = rgb * jnp.asarray(
+            [-1.0, 1.0, 1.0], rgb.dtype)[None, :, None, None]
+    return out
 
 
 class Renderer:

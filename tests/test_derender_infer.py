@@ -1,0 +1,80 @@
+"""End-to-end geometric inference pipeline test (main.py:_test parity
+structure) on synthetic meshes and random weights."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sdn3d_tpu.data.synthetic import make_sphere_mesh
+from sdn3d_tpu.geometry.assets import build_mesh_bank
+from sdn3d_tpu.models.derenderer import Derenderer, DeviceMeshBank
+from sdn3d_tpu.pipelines.derender_infer import (
+    DerenderInferConfig, derender_image)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    verts, faces = make_sphere_mesh(4, 8)
+    bank = DeviceMeshBank.from_host(build_mesh_bank([(verts, faces)] * 2))
+    model = Derenderer(num_classes=2)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 2)),
+        jnp.zeros((1, 2)), train=False)
+    cfg = DerenderInferConfig(image_size=64, render_size=64, max_objects=4)
+    return model, variables, bank, cfg
+
+
+def fake_scene(h=96, w=160, n=2):
+    rng = np.random.RandomState(0)
+    image = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+    rois = np.asarray([[20, 30, 60, 80], [40, 90, 85, 150]], np.float32)[:n]
+    masks = np.zeros((n, 1, h, w), np.float32)
+    for i, r in enumerate(rois):
+        masks[i, 0, int(r[0]) + 5:int(r[2]) - 5, int(r[1]) + 5:int(r[3]) - 5] = 1
+    class_ids = np.asarray([1, 2][:n])
+    return image, rois, masks, class_ids
+
+
+def test_derender_image_smoke(setup):
+    model, variables, bank, cfg = setup
+    image, rois, masks, class_ids = fake_scene()
+    out = derender_image(variables, model, bank, image, class_ids, masks,
+                         rois, cfg)
+    assert out["instance_map"].shape == image.shape[:2]
+    assert out["normal_map"].shape == (3,) + image.shape[:2]
+    assert out["depth_map"].shape == image.shape[:2]
+    assert set(np.unique(out["instance_map"])).issubset({0, 1, 2})
+    assert set(out["json_obj"].keys()).issubset({1, 2})
+    for entry in out["json_obj"].values():
+        assert np.isfinite(entry["depth"]) and np.isfinite(entry["alpha"])
+    assert out["depth_map"].min() >= 0 and out["depth_map"].max() <= 1
+
+
+def test_derender_image_delete_op(setup):
+    model, variables, bank, cfg = setup
+    image, rois, masks, class_ids = fake_scene()
+    from sdn3d_tpu.data.vkitti import Camera
+    # center of object 0 in pixels
+    cy = (rois[0, 0] + rois[0, 2]) / 2
+    cx = (rois[0, 1] + rois[0, 3]) / 2
+    ops = [{"type": "delete", "from": {"u": str(cx), "v": str(cy)}},
+           {"type": "modify",
+            "from": {"u": str((rois[1, 1] + rois[1, 3]) / 2),
+                     "v": str((rois[1, 0] + rois[1, 2]) / 2)},
+            "to": {}, "zoom": "1.5", "ry": "0.3"}]
+    out = derender_image(variables, model, bank, image, class_ids, masks,
+                         rois, cfg, operations=ops)
+    assert 1 not in out["json_obj"]          # deleted object dropped
+    assert not (out["instance_map"] == 1).any()
+
+
+def test_derender_image_refinement_runs(setup):
+    model, variables, bank, cfg = setup
+    import dataclasses
+    cfg2 = dataclasses.replace(cfg, num_opts=2)
+    image, rois, masks, class_ids = fake_scene()
+    out = derender_image(variables, model, bank, image, class_ids, masks,
+                         rois, cfg2)
+    assert np.isfinite(out["depth_map"]).all()

@@ -1,0 +1,120 @@
+"""Edit-engine tests: op matching, modify/delete semantics, compositing
+(reference: geometric/scripts/main.py:461-622)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sdn3d_tpu.data.vkitti import Camera, crop_square, roi_norms_from_rois, \
+    load_edit_json, benchmark_split, get_lists
+from sdn3d_tpu.pipelines.edit import (
+    match_operations, apply_operations, composite_objects, compute_interests)
+
+
+def test_match_operations_nearest():
+    mroi = np.asarray([[0.0, 0.0], [0.1, 0.5]], np.float32)
+    ops = [
+        {"type": "modify",
+         "from": {"u": Camera.u0 + 0.5 * Camera.focal,
+                  "v": Camera.v0 + 0.1 * Camera.focal}},
+        {"type": "delete",
+         "from": {"u": Camera.u0, "v": Camera.v0}},
+    ]
+    pairs = match_operations(mroi, ops)
+    assert sorted(pairs) == [(0, 1), (1, 0)]
+
+
+def test_apply_operations_modify_and_delete():
+    B = 2
+    blob = {
+        "_theta_deltas": jnp.asarray([[1.0, 0.0], [0.0, 1.0]]),
+        "_translation2ds": jnp.zeros((B, 2)),
+        "_log_depths": jnp.zeros((B, 1)),
+        "_mroi_norms": jnp.zeros((B, 2)),
+        "_droi_norms": jnp.ones((B, 2)),
+    }
+    ops = [
+        {"type": "modify", "from": {"u": "620.5", "v": "187.0"},
+         "to": {"u": str(Camera.u0 + Camera.focal)},
+         "zoom": "2.0", "ry": str(np.pi / 2)},
+        {"type": "delete", "from": {"u": "620.5", "v": "187.0"}},
+    ]
+    interests = np.ones(B, np.uint8)
+    out, interests = apply_operations(blob, interests, ops, [(0, 0), (1, 1)])
+    assert interests[1] == 0 and interests[0] == 1
+    # log depth -= 2 log 2
+    np.testing.assert_allclose(float(out["_log_depths"][0, 0]),
+                               -2 * np.log(2.0), rtol=1e-5)
+    # theta rotated by -pi/2: (cos, sin) = (1, 0) -> (0, -1)
+    np.testing.assert_allclose(np.asarray(out["_theta_deltas"][0]),
+                               [0.0, -1.0], atol=1e-6)
+    # translation2d: target u moved 1 unit in normalized coords
+    np.testing.assert_allclose(np.asarray(out["_translation2ds"][0]),
+                               [0.0, 1.0], atol=1e-5)
+
+
+def test_composite_objects_occlusion():
+    """Nearer object must overwrite farther one; deleted objects vanish."""
+    N, R = 3, 32
+    masks = np.zeros((N, 1, R, R), np.float32)
+    masks[:, :, 8:24, 8:24] = 1.0
+    normals = np.zeros((N, 3, R, R), np.float32)
+    normals[0] += 0.5
+    normals[1] -= 0.5
+    depth_maps = np.ones((N, 1, R, R), np.float32) * 5.0
+
+    center = np.zeros((N, 2), np.float32)            # all at principal point
+    zooms = np.full((N, 1), 4.0, np.float32)         # paste size 384/4 = 96
+    depths = np.asarray([[10.0], [5.0], [7.0]], np.float32)
+    interests = np.asarray([1, 1, 0], np.uint8)      # object 2 deleted
+
+    inst, nrm, dep = composite_objects(
+        jnp.asarray(masks), jnp.asarray(normals), jnp.asarray(depth_maps),
+        jnp.asarray(center), jnp.asarray(zooms), jnp.asarray(depths),
+        jnp.asarray(interests), height=128, width=256, render_size=384,
+        focal=100.0, u0=128.0, v0=64.0)
+    inst = np.asarray(inst)
+    # nearest interested object is index 1 -> instance id 2 at the center
+    assert inst[64, 128] == 2
+    # object 2 (deleted) must appear nowhere
+    assert not (inst == 3).any()
+    # background
+    assert inst[0, 0] == 0
+    assert np.asarray(dep)[0, 0] == 1.0
+    np.testing.assert_allclose(np.asarray(nrm)[:, 0, 0], 0.5)
+
+
+def test_compute_interests():
+    cls = np.asarray([1, 2, 3, 1])
+    areas = np.asarray([1000, 100, 5000, 5000])
+    np.testing.assert_array_equal(compute_interests(cls, areas), [1, 0, 0, 1])
+    np.testing.assert_array_equal(compute_interests(cls, areas, True),
+                                  [1, 1, 1, 1])
+
+
+def test_crop_square_roi_norms():
+    img = np.arange(24, dtype=np.float32).reshape(4, 6, 1)
+    out = crop_square(img, (1, 1, 3, 5), fill=-1.0)
+    assert out.shape == (4, 4, 1)
+    rois = np.asarray([[187.0, 620.5, 187.0 + 725.0, 620.5 + 725.0]])
+    n = roi_norms_from_rois(rois)
+    np.testing.assert_allclose(n, [[0, 0, 1, 1]], atol=1e-6)
+
+
+def test_benchmark_json_protocol():
+    items = load_edit_json("/root/reference/assets/vkitti_edit_benchmark.json")
+    assert len(items) == 184
+    edits = benchmark_split(items)
+    assert len(edits) == 92
+    n_ops = sum(len(i.operations) for i in edits)
+    kinds = [op["type"] for i in edits for op in i.operations]
+    assert kinds.count("modify") == 393 and kinds.count("delete") == 31
+    assert all(i.source == i.target for i in items[92:])
+
+
+def test_get_lists_split_sizes():
+    train, test = get_lists("train"), get_lists("test")
+    assert len(train) + len(test) == len(get_lists("all"))
+    assert len(set(train) & set(test)) == 0
