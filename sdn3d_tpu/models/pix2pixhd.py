@@ -81,8 +81,11 @@ class GlobalGenerator(nn.Module):
             y = ResnetBlockG(self.ngf * mult, name=f"res{i}")(y)
         for i in range(self.n_downsampling):
             mult = 2 ** (self.n_downsampling - i)
+            # torch ConvTranspose2d(3, stride 2, pad 1, output_pad 1)
+            # == lax.conv_transpose(transpose_kernel=True, padding (1, 2)).
             y = nn.ConvTranspose(self.ngf * mult // 2, (3, 3), strides=(2, 2),
-                                 padding="SAME", name=f"up{i}")(y)
+                                 padding=((1, 2), (1, 2)),
+                                 transpose_kernel=True, name=f"up{i}")(y)
             y = nn.relu(instance_norm(y))
         y = reflect_pad(y, 3)
         y = nn.Conv(self.output_nc, (7, 7), padding="VALID", name="conv_out")(y)
@@ -160,7 +163,8 @@ class Encoder(nn.Module):
         for i in range(self.n_downsampling):
             mult = 2 ** (self.n_downsampling - i)
             y = nn.ConvTranspose(self.nef * mult // 2, (3, 3), strides=(2, 2),
-                                 padding="SAME", name=f"up{i}")(y)
+                                 padding=((1, 2), (1, 2)),
+                                 transpose_kernel=True, name=f"up{i}")(y)
             y = nn.relu(instance_norm(y))
         y = reflect_pad(y, 3)
         y = nn.Conv(self.feat_num, (7, 7), padding="VALID", name="conv_out")(y)

@@ -126,15 +126,20 @@ class ResNet(nn.Module):
         num_filters = (64, 128, 256, 512)
         strides = [1, 2, 2, 2]
         dilations = [1, 1, 1, 1]
+        first_dilations = [1, 1, 1, 1]
         if self.output_stride == 8:
+            # _nostride_dilate (semantic/models.py:213-226): strided convs
+            # become stride 1 with dilation//2; the rest get the full
+            # dilation.
             strides = [1, 2, 1, 1]
             dilations = [1, 1, 2, 4]
+            first_dilations = [1, 1, 1, 2]
         for i, (blocks, f) in enumerate(zip(self.stage_sizes, num_filters)):
             for j in range(blocks):
                 x = self.block_cls(
                     filters=f,
                     stride=strides[i] if j == 0 else 1,
-                    dilation=dilations[i],
+                    dilation=first_dilations[i] if j == 0 else dilations[i],
                     norm=norm,
                     name=f"layer{i + 1}_{j}")(x)
             features.append(x)

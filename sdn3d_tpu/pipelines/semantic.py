@@ -1,0 +1,169 @@
+"""Semantic branch pipeline: training, multi-scale inference, metrics.
+
+Re-expression of semantic/vkitti_{train,eval,test}.py: two poly-LR SGD
+optimizers (encoder/decoder, vkitti_train.py:93-117), deep-supervision NLL
+loss at 0.4 (vkitti_train.py:225-226), multi-scale averaged-softmax
+inference over short sides {100,150,200,300,375} (vkitti_eval.py:50-107),
+mIoU + pixel accuracy (semantic/utils.py:146-173).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sdn3d_tpu.models.semantic import (
+    SemanticModel, pixel_accuracy, resize_bilinear, segmentation_loss)
+
+EVAL_SCALES = (100, 150, 200, 300, 375)   # short-edge sizes
+
+
+@flax.struct.dataclass
+class SemanticTrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state_enc: Any
+    opt_state_dec: Any
+
+
+@dataclasses.dataclass
+class SemanticTrainer:
+    model: SemanticModel
+    lr_encoder: float = 2e-2
+    lr_decoder: float = 2e-2
+    momentum: float = 0.9        # beta1
+    weight_decay: float = 1e-4
+    max_iters: int = 100_000
+    lr_pow: float = 0.9
+    deep_sup_scale: float = 0.4
+
+    def __post_init__(self):
+        def schedule(base):
+            def fn(step):
+                return base * (1.0 - step / self.max_iters) ** self.lr_pow
+            return fn
+
+        def sgd(base):
+            return optax.chain(
+                optax.add_decayed_weights(self.weight_decay),
+                optax.sgd(learning_rate=schedule(base),
+                          momentum=self.momentum),
+            )
+
+        self.tx_enc = sgd(self.lr_encoder)
+        self.tx_dec = sgd(self.lr_decoder)
+
+    @staticmethod
+    def _split(params):
+        return params["encoder"], params["decoder"]
+
+    def init(self, rng: jax.Array, sample_images: jnp.ndarray
+             ) -> SemanticTrainState:
+        variables = self.model.init(rng, sample_images, train=False)
+        params = variables["params"]
+        enc, dec = self._split(params)
+        return SemanticTrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state_enc=self.tx_enc.init(enc),
+            opt_state_dec=self.tx_dec.init(dec),
+        )
+
+    def make_train_step(self):
+        def train_step(state: SemanticTrainState, images: jnp.ndarray,
+                       labels: jnp.ndarray, rng: jax.Array
+                       ) -> Tuple[SemanticTrainState, Dict[str, jnp.ndarray]]:
+            def loss_fn(params):
+                out, new_state = self.model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    images, train=True, mutable=["batch_stats"],
+                    rngs={"dropout": rng})
+                log_p, log_d = out
+                loss = segmentation_loss(log_p, labels)
+                loss_d = segmentation_loss(log_d, labels)
+                total = loss + self.deep_sup_scale * loss_d
+                acc = pixel_accuracy(log_p, labels)
+                return total, (acc, new_state)
+
+            (loss, (acc, new_state)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            g_enc, g_dec = self._split(grads)
+            p_enc, p_dec = self._split(state.params)
+            u_enc, os_enc = self.tx_enc.update(g_enc, state.opt_state_enc,
+                                               p_enc)
+            u_dec, os_dec = self.tx_dec.update(g_dec, state.opt_state_dec,
+                                               p_dec)
+            params = {"encoder": optax.apply_updates(p_enc, u_enc),
+                      "decoder": optax.apply_updates(p_dec, u_dec)}
+            return SemanticTrainState(
+                step=state.step + 1,
+                params=params,
+                batch_stats=new_state.get("batch_stats", state.batch_stats),
+                opt_state_enc=os_enc,
+                opt_state_dec=os_dec,
+            ), {"loss": loss, "acc": acc}
+
+        return train_step
+
+
+def pad_to_multiple(image: np.ndarray, multiple: int = 8) -> np.ndarray:
+    """Pad H, W up to a multiple (semantic/vkitti_dataset.py padding)."""
+    h, w = image.shape[:2]
+    ph = -h % multiple
+    pw = -w % multiple
+    if ph or pw:
+        image = np.pad(image, ((0, ph), (0, pw)) + ((0, 0),) * (image.ndim - 2))
+    return image
+
+
+def multiscale_inference(variables, model: SemanticModel,
+                         image: np.ndarray,
+                         scales: Sequence[int] = EVAL_SCALES,
+                         num_class: int = 14) -> np.ndarray:
+    """Averaged multi-scale softmax (vkitti_eval.py:58-75).
+
+    image [H, W, 3] float (already normalized).  Returns probs [H, W, C].
+    """
+    H, W = image.shape[:2]
+    total = np.zeros((H, W, num_class), np.float32)
+    for s in scales:
+        scale = s / min(H, W)
+        nh, nw = int(H * scale), int(W * scale)
+        img = np.asarray(jax.image.resize(
+            jnp.asarray(image), (nh, nw, 3), method="bilinear"))
+        img = pad_to_multiple(img, 8)
+        probs = model.apply(variables, jnp.asarray(img[None]),
+                            seg_size=(H, W), train=False)
+        total += np.asarray(probs[0]) / len(scales)
+    return total
+
+
+def intersection_and_union(pred: np.ndarray, label: np.ndarray,
+                           num_class: int) -> Tuple[np.ndarray, np.ndarray]:
+    """semantic/utils.py:146-173 semantics (ignore label < 0)."""
+    pred = pred.astype(np.int64)
+    label = label.astype(np.int64)
+    pred = np.where(label >= 0, pred, -1)
+    inter = pred[pred == label]
+    area_inter, _ = np.histogram(inter, bins=num_class,
+                                 range=(0, num_class - 1))
+    area_pred, _ = np.histogram(pred, bins=num_class,
+                                range=(0, num_class - 1))
+    area_lab, _ = np.histogram(label, bins=num_class,
+                               range=(0, num_class - 1))
+    return area_inter, area_pred + area_lab - area_inter
+
+
+def accuracy(pred: np.ndarray, label: np.ndarray) -> Tuple[float, int]:
+    valid = label >= 0
+    acc_sum = (valid & (pred == label)).sum()
+    pixel_sum = valid.sum()
+    return float(acc_sum) / (pixel_sum + 1e-10), int(pixel_sum)

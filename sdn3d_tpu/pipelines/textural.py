@@ -1,0 +1,255 @@
+"""Textural branch pipeline: pix2pixHD training + inference.
+
+Re-expression of textural/models/pix2pixHD_model.py (encode_input :124-166,
+forward :176-246, fake_inference :248-280) and textural/train.py (alternating
+G/D Adam steps).
+
+3D-SDN configuration (textural/options): label_nc=14, instance edge map,
+feat_num=5 instance codes, 24-bin one-hot pose (+1 bg), normal map,
+optional depth; LSGAN + D-feature-matching (lambda_feat=5) + VGG perceptual
+(lambda_feat) + L1 (lambda_L1=10); Adam(2e-4, beta1=0.5); netG input
+channels = 14+1+5+25+3 (+1 with depth) = 48 (49).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sdn3d_tpu.models.pix2pixhd import (
+    Encoder, GlobalGenerator, MultiscaleDiscriminator, get_edges,
+    instance_average, gan_loss_lsgan, feature_matching_loss)
+from sdn3d_tpu.models.vgg import Vgg19Features, vgg_loss
+
+
+@dataclasses.dataclass(frozen=True)
+class TexturalConfig:
+    label_nc: int = 14
+    output_nc: int = 3
+    ngf: int = 64
+    ndf: int = 64
+    nef: int = 16
+    feat_num: int = 5
+    n_downsample_global: int = 4
+    n_blocks_global: int = 9
+    n_downsample_e: int = 4
+    n_layers_d: int = 3
+    num_d: int = 2
+    use_instance_edges: bool = True
+    feat_pose: bool = True
+    pose_bins: int = 24
+    feat_normal: bool = True
+    feat_depth: bool = False
+    lambda_feat: float = 5.0
+    lambda_l1: float = 10.0
+    lr: float = 2e-4
+    beta1: float = 0.5
+    use_vgg_loss: bool = True
+    max_instances: int = 64
+
+    @property
+    def netG_input_nc(self) -> int:
+        nc = self.label_nc
+        if self.use_instance_edges:
+            nc += 1
+        nc += self.feat_num
+        if self.feat_pose:
+            nc += self.pose_bins + 1
+        if self.feat_normal:
+            nc += 3
+        if self.feat_depth:
+            nc += 1
+        return nc
+
+    @property
+    def netD_input_nc(self) -> int:
+        nc = self.label_nc + self.output_nc
+        if self.use_instance_edges:
+            nc += 1
+        return nc
+
+
+def one_hot_label(label_map: jnp.ndarray, num_classes: int) -> jnp.ndarray:
+    """label_map [B, H, W] int -> one-hot [B, H, W, C]
+    (pix2pixHD_model.py:128-132)."""
+    return jax.nn.one_hot(label_map, num_classes, dtype=jnp.float32)
+
+
+def encode_input(cfg: TexturalConfig,
+                 label_map: jnp.ndarray,        # [B, H, W] int
+                 inst_map: jnp.ndarray,         # [B, H, W] int
+                 pose_map: Optional[jnp.ndarray] = None,   # [B, H, W] int bins
+                 normal_map: Optional[jnp.ndarray] = None,  # [B, H, W, 3]
+                 depth_map: Optional[jnp.ndarray] = None,   # [B, H, W, 1]
+                 ) -> jnp.ndarray:
+    """Build the conditioning stack (without the feat codes):
+    one-hot label ‖ instance edges (pix2pixHD_model.py:124-166)."""
+    parts = [one_hot_label(label_map, cfg.label_nc)]
+    if cfg.use_instance_edges:
+        parts.append(get_edges(inst_map))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def assemble_generator_input(cfg: TexturalConfig, input_label: jnp.ndarray,
+                             feat_map: jnp.ndarray,
+                             pose_map: Optional[jnp.ndarray],
+                             normal_map: Optional[jnp.ndarray],
+                             depth_map: Optional[jnp.ndarray]) -> jnp.ndarray:
+    parts = [input_label, feat_map]
+    if cfg.feat_pose:
+        parts.append(jax.nn.one_hot(pose_map, cfg.pose_bins + 1,
+                                    dtype=jnp.float32))
+    if cfg.feat_normal:
+        parts.append(normal_map)
+    if cfg.feat_depth:
+        parts.append(depth_map)
+    return jnp.concatenate(parts, axis=-1)
+
+
+@flax.struct.dataclass
+class TexturalState:
+    step: jnp.ndarray
+    params_g: Any
+    params_d: Any
+    params_e: Any
+    vgg: Any
+    opt_g: Any
+    opt_d: Any
+
+
+@dataclasses.dataclass
+class TexturalTrainer:
+    cfg: TexturalConfig = TexturalConfig()
+
+    def __post_init__(self):
+        c = self.cfg
+        self.netG = GlobalGenerator(c.output_nc, c.ngf, c.n_downsample_global,
+                                    c.n_blocks_global)
+        self.netD = MultiscaleDiscriminator(c.ndf, c.n_layers_d, c.num_d)
+        self.netE = Encoder(c.feat_num, c.nef, c.n_downsample_e)
+        self.tx_g = optax.adam(c.lr, b1=c.beta1, b2=0.999)
+        self.tx_d = optax.adam(c.lr, b1=c.beta1, b2=0.999)
+
+    def init(self, rng: jax.Array, height: int = 192, width: int = 624
+             ) -> TexturalState:
+        c = self.cfg
+        kg, kd, ke, kv = jax.random.split(rng, 4)
+        pg = self.netG.init(kg, jnp.zeros((1, height, width,
+                                           c.netG_input_nc)))["params"]
+        pd = self.netD.init(kd, jnp.zeros((1, height, width,
+                                           c.netD_input_nc)))["params"]
+        pe = self.netE.init(ke, jnp.zeros((1, height, width,
+                                           c.output_nc)))["params"]
+        vgg = Vgg19Features().init(kv, jnp.zeros((1, 64, 64, 3)))
+        params_ge = {"g": pg, "e": pe}
+        return TexturalState(
+            step=jnp.zeros((), jnp.int32),
+            params_g=pg, params_d=pd, params_e=pe, vgg=vgg,
+            opt_g=self.tx_g.init({"g": pg, "e": pe}),
+            opt_d=self.tx_d.init(pd),
+        )
+
+    def _generate(self, params_g, params_e, batch: Dict[str, jnp.ndarray]
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        c = self.cfg
+        input_label = encode_input(c, batch["label"], batch["inst"])
+        feats = self.netE.apply({"params": params_e}, batch["image"])
+        feat_map = instance_average(feats, batch["inst_slots"],
+                                    c.max_instances)
+        g_in = assemble_generator_input(
+            c, input_label, feat_map, batch.get("pose"),
+            batch.get("normal"), batch.get("depth"))
+        fake = self.netG.apply({"params": params_g}, g_in)
+        return fake, input_label
+
+    def make_g_step(self):
+        """Generator(+encoder) update (train.py:86-90)."""
+        def g_step(state: TexturalState, batch: Dict[str, jnp.ndarray]
+                   ) -> Tuple[TexturalState, Dict[str, jnp.ndarray]]:
+            c = self.cfg
+
+            def loss_fn(p):
+                fake, input_label = self._generate(p["g"], p["e"], batch)
+                pred_fake = self.netD.apply(
+                    {"params": state.params_d},
+                    jnp.concatenate([input_label, fake], axis=-1))
+                pred_real = self.netD.apply(
+                    {"params": state.params_d},
+                    jnp.concatenate([input_label, batch["image"]], axis=-1))
+                loss_gan = gan_loss_lsgan(pred_fake, True)
+                loss_feat = feature_matching_loss(
+                    pred_fake, pred_real, c.num_d, c.n_layers_d,
+                    c.lambda_feat)
+                loss_l1 = c.lambda_l1 * jnp.mean(
+                    jnp.abs(fake - batch["image"]))
+                loss_vgg = 0.0
+                if c.use_vgg_loss:
+                    loss_vgg = c.lambda_feat * vgg_loss(state.vgg, fake,
+                                                        batch["image"])
+                total = loss_gan + loss_feat + loss_l1 + loss_vgg
+                return total, {"G_GAN": loss_gan, "G_GAN_Feat": loss_feat,
+                               "G_L1": loss_l1, "G_VGG": loss_vgg}
+
+            params = {"g": state.params_g, "e": state.params_e}
+            grads, losses = jax.grad(loss_fn, has_aux=True)(params)
+            updates, opt_g = self.tx_g.update(grads, state.opt_g, params)
+            new = optax.apply_updates(params, updates)
+            return dataclasses.replace(
+                state, step=state.step + 1, params_g=new["g"],
+                params_e=new["e"], opt_g=opt_g), losses
+
+        return g_step
+
+    def make_d_step(self):
+        """Discriminator update (train.py:92-95)."""
+        def d_step(state: TexturalState, batch: Dict[str, jnp.ndarray]
+                   ) -> Tuple[TexturalState, Dict[str, jnp.ndarray]]:
+            fake, input_label = self._generate(state.params_g,
+                                               state.params_e, batch)
+            fake = jax.lax.stop_gradient(fake)
+
+            def loss_fn(pd):
+                pred_fake = self.netD.apply(
+                    {"params": pd},
+                    jnp.concatenate([input_label, fake], axis=-1))
+                pred_real = self.netD.apply(
+                    {"params": pd},
+                    jnp.concatenate([input_label, batch["image"]], axis=-1))
+                # 0.5x convention (train.py loss_D = (fake+real)*0.5)
+                l_fake = gan_loss_lsgan(pred_fake, False)
+                l_real = gan_loss_lsgan(pred_real, True)
+                return 0.5 * (l_fake + l_real), {"D_fake": l_fake,
+                                                 "D_real": l_real}
+
+            grads, losses = jax.grad(loss_fn, has_aux=True)(state.params_d)
+            updates, opt_d = self.tx_d.update(grads, state.opt_d,
+                                              state.params_d)
+            pd = optax.apply_updates(state.params_d, updates)
+            return dataclasses.replace(state, params_d=pd, opt_d=opt_d), \
+                losses
+
+        return d_step
+
+    def fake_inference(self, state: TexturalState,
+                       batch: Dict[str, jnp.ndarray],
+                       feat_map: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Edit-time generation (pix2pixHD_model.py:248-280): condition on a
+        precomputed per-pixel feat map (from source-image codes) or run the
+        encoder on the given image."""
+        c = self.cfg
+        input_label = encode_input(c, batch["label"], batch["inst"])
+        if feat_map is None:
+            feats = self.netE.apply({"params": state.params_e},
+                                    batch["image"])
+            feat_map = instance_average(feats, batch["inst_slots"],
+                                        c.max_instances)
+        g_in = assemble_generator_input(
+            c, input_label, feat_map, batch.get("pose"),
+            batch.get("normal"), batch.get("depth"))
+        return self.netG.apply({"params": state.params_g}, g_in)

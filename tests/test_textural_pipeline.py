@@ -1,0 +1,78 @@
+"""Textural (pix2pixHD) pipeline tests: G/D alternating steps, inference."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sdn3d_tpu.pipelines.textural import (
+    TexturalConfig, TexturalTrainer, encode_input)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = TexturalConfig(ngf=8, ndf=8, nef=4, n_downsample_global=2,
+                         n_blocks_global=2, n_downsample_e=2, n_layers_d=2,
+                         use_vgg_loss=False, max_instances=8)
+    trainer = TexturalTrainer(cfg)
+    H, W = 48, 64
+    state = trainer.init(jax.random.PRNGKey(0), H, W)
+    rng = np.random.RandomState(0)
+    inst = np.zeros((1, H, W), np.int32)
+    inst[:, :, W // 2:] = 1
+    batch = {
+        "label": jnp.asarray(rng.randint(0, 14, (1, H, W)).astype(np.int32)),
+        "inst": jnp.asarray(inst),
+        "inst_slots": jnp.asarray(inst),
+        "image": jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32) * 2 - 1),
+        "pose": jnp.asarray(rng.randint(0, 25, (1, H, W)).astype(np.int32)),
+        "normal": jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32)),
+    }
+    return trainer, state, batch
+
+
+def test_g_and_d_steps(setup):
+    trainer, state, batch = setup
+    g_step = jax.jit(trainer.make_g_step())
+    d_step = jax.jit(trainer.make_d_step())
+    state1, g_losses = g_step(state, batch)
+    state2, d_losses = d_step(state1, batch)
+    for k, v in {**g_losses, **d_losses}.items():
+        assert np.isfinite(float(v)), k
+    # G params moved, D params moved
+    dg = jax.tree_util.tree_reduce(
+        lambda a, b: a + float(jnp.abs(b).sum()),
+        jax.tree_util.tree_map(lambda a, b: a - b, state1.params_g,
+                               state.params_g), 0.0)
+    dd = jax.tree_util.tree_reduce(
+        lambda a, b: a + float(jnp.abs(b).sum()),
+        jax.tree_util.tree_map(lambda a, b: a - b, state2.params_d,
+                               state1.params_d), 0.0)
+    assert dg > 0 and dd > 0
+
+
+def test_fake_inference_shape_and_range(setup):
+    trainer, state, batch = setup
+    out = trainer.fake_inference(state, batch)
+    assert out.shape == (1, 48, 64, 3)
+    assert float(jnp.abs(out).max()) <= 1.0
+
+
+def test_netG_input_channels():
+    cfg = TexturalConfig()
+    # label 14 + edge 1 + feat 5 + pose 25 + normal 3 (base_options defaults)
+    assert cfg.netG_input_nc == 48
+    assert cfg.netD_input_nc == 18
+    cfg2 = dataclasses.replace(cfg, feat_depth=True)
+    assert cfg2.netG_input_nc == 49
+
+
+def test_encode_input_shapes(setup):
+    trainer, state, batch = setup
+    x = encode_input(trainer.cfg, batch["label"], batch["inst"])
+    assert x.shape == (1, 48, 64, 15)
+    # one-hot sums to 1 on the label block
+    np.testing.assert_allclose(np.asarray(x[..., :14]).sum(-1), 1.0)
