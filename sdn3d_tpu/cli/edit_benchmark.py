@@ -1,0 +1,94 @@
+"""92-pair VKITTI edit benchmark driver (mirrors textural/edit_benchmark.py).
+
+For each edit pair: regenerate the target image from the source image's
+texture codes + the geometric branch's edited 2.5D maps, then report
+L1(generated, target) per pair and the mean (edit_benchmark.py:40,143).
+Also reports wall-clock edits/sec (the BASELINE.json headline metric).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--edit_json", required=True)
+    p.add_argument("--data_root", default=os.environ.get("VKITTI_ROOT_DIR"))
+    p.add_argument("--segm_dir", required=True,
+                   help="semantic branch outputs")
+    p.add_argument("--geo_dir", required=True,
+                   help="geometric branch outputs (per target-name files)")
+    p.add_argument("--ckpt_dir", default=None)
+    p.add_argument("--results_dir", default="./benchmark_out")
+    p.add_argument("--load_size", type=int, default=624)
+    p.add_argument("--fine_width", type=int, default=624)
+    p.add_argument("--fine_height", type=int, default=192)
+    return p
+
+
+def main(argv=None):
+    from PIL import Image
+
+    from sdn3d_tpu.cli.edit_vkitti import load_trainer, generate_edit_frame
+    from sdn3d_tpu.data.vkitti import load_edit_json, benchmark_split
+    from sdn3d_tpu.data.textural_data import transform_image
+    from sdn3d_tpu.utils.visualizer import HTMLGallery, tensor2im
+
+    args = build_argparser().parse_args(argv)
+    args.no_vgg = True
+    trainer, state = load_trainer(args)
+    wh = (args.fine_width, args.fine_height)
+
+    items = benchmark_split(load_edit_json(args.edit_json))
+    gallery = HTMLGallery(args.results_dir, "92-pair edit benchmark")
+
+    l1s = []
+    t0 = time.perf_counter()
+    for item in items:
+        src = os.path.join(args.data_root, "vkitti_1.3.1_rgb", item.world,
+                           item.topic, f"{item.source}.png")
+        tgt = os.path.join(args.data_root, "vkitti_1.3.1_rgb", item.world,
+                           item.topic, f"{item.target}.png")
+        segm = os.path.join(args.segm_dir, f"{item.source_name}.png")
+        base_img_t = transform_image(Image.open(src).convert("RGB"),
+                                     args.load_size, wh)
+        base_label = (np.asarray(transform_image(
+            Image.open(segm), args.load_size, wh, nearest=True,
+            normalize=False)) * 255.0).astype(np.int32)[..., 0]
+        target_t = transform_image(Image.open(tgt).convert("RGB"),
+                                   args.load_size, wh)
+
+        # geometric outputs are stored per target name
+        class _A:
+            pass
+        fake, maps = generate_edit_frame(
+            trainer, state, base_img_t, base_label, args.geo_dir,
+            int(item.target), wh, args)
+
+        l1 = float(np.abs(fake - target_t).mean())
+        l1s.append(l1)
+        gallery.add_images({"generated": tensor2im(fake),
+                            "target": tensor2im(target_t)},
+                           item.target_name)
+        print(f"{item.target_name}: L1={l1:.4f}")
+    dt = time.perf_counter() - t0
+
+    result = {
+        "mean_L1": float(np.mean(l1s)),
+        "pairs": len(l1s),
+        "edits_per_sec": len(l1s) / dt,
+    }
+    with open(os.path.join(args.results_dir, "benchmark.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+    gallery.save()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""Textural edit CLI (mirrors textural/edit_vkitti.py).
+
+Reads: source RGB (--edit_source), its precomputed label PNG
+(--segm_path), and a directory of geometric outputs (--edit_dir with
+{i:05d}.png / .json / -normal.png [/-depth.png]).  Extracts per-instance
+texture codes from the SOURCE image, rebuilds conditioning tensors per edit
+frame, generates, and writes an HTML gallery (edit_vkitti.py:41-124).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--edit_source", required=True)
+    p.add_argument("--segm_path", required=True)
+    p.add_argument("--edit_dir", required=True)
+    p.add_argument("--edit_num", type=int, default=1)
+    p.add_argument("--ckpt_dir", default=None)
+    p.add_argument("--results_dir", default="./edit_out")
+    p.add_argument("--load_size", type=int, default=624)
+    p.add_argument("--fine_width", type=int, default=624)
+    p.add_argument("--fine_height", type=int, default=192)
+    p.add_argument("--no_vgg", action="store_true")
+    return p
+
+
+def load_trainer(args):
+    import jax
+
+    from sdn3d_tpu.core.checkpoint import restore_checkpoint
+    from sdn3d_tpu.pipelines.textural import TexturalConfig, TexturalTrainer
+
+    cfg = TexturalConfig(use_vgg_loss=not args.no_vgg)
+    trainer = TexturalTrainer(cfg)
+    state = trainer.init(jax.random.PRNGKey(0), args.fine_height,
+                         args.fine_width)
+    if args.ckpt_dir:
+        state, step = restore_checkpoint(args.ckpt_dir, state)
+        print(f"restored textural checkpoint step {step}")
+    else:
+        print("WARNING: no --ckpt_dir; random generator weights")
+    return trainer, state
+
+
+def generate_edit_frame(trainer, state, base_img_t, base_label,
+                        edit_dir, index, wh, args):
+    """Assemble one edit frame's conditioning + generate
+    (edit_vkitti.py:63-107)."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from sdn3d_tpu.data.textural_data import (
+        assemble_condition_maps, dense_instance_slots, transform_image)
+    from sdn3d_tpu.models.pix2pixhd import instance_feature_means
+
+    inst_png = np.asarray(transform_image(
+        Image.open(os.path.join(edit_dir, f"{index:05d}.png")),
+        args.load_size, wh, nearest=True, normalize=False) * 255.0
+    ).astype(np.int32)[..., 0]
+    with open(os.path.join(edit_dir, f"{index:05d}.json")) as f:
+        json_obj = json.load(f)
+    normal_path = os.path.join(edit_dir, f"{index:05d}-normal.png")
+    normal_png = None
+    if os.path.exists(normal_path):
+        normal_png = np.asarray(transform_image(
+            Image.open(normal_path).convert("RGB"), args.load_size, wh,
+            normalize=False)) * 255.0
+
+    maps = assemble_condition_maps(base_label, inst_png, json_obj,
+                                   normal_png)
+    if "normal" not in maps:
+        maps["normal"] = np.zeros(base_img_t.shape, np.float32)
+
+    # source texture codes, splatted by target instance ids
+    cfg = trainer.cfg
+    slots, mapping = dense_instance_slots(maps["inst"], cfg.max_instances)
+    feats = trainer.netE.apply({"params": state.params_e},
+                               jnp.asarray(base_img_t[None]))
+    # codes from the SOURCE instance layout:
+    src_slots, src_mapping = dense_instance_slots(
+        np.asarray(base_label), cfg.max_instances)
+    # For edit frames, codes are looked up by matching instance ids between
+    # source and target (edit_vkitti.py:57,99-105): same k*1000 id = same
+    # object.
+    means, _ = instance_feature_means(
+        feats, jnp.asarray(src_slots[None]), cfg.max_instances)
+    feat_map = np.zeros(maps["inst"].shape + (cfg.feat_num,), np.float32)
+    means_np = np.asarray(means[0])
+    for inst_id, slot in mapping.items():
+        src_slot = src_mapping.get(inst_id)
+        if src_slot is not None:
+            feat_map[maps["inst"] == inst_id] = means_np[src_slot]
+
+    batch = {
+        "label": jnp.asarray(maps["label"][None]),
+        "inst": jnp.asarray(maps["inst"][None]),
+        "inst_slots": jnp.asarray(slots[None]),
+        "image": jnp.asarray(base_img_t[None]),
+        "pose": jnp.asarray(maps["pose"][None]),
+        "normal": jnp.asarray(maps["normal"][None].astype(np.float32)),
+    }
+    fake = trainer.fake_inference(state, batch,
+                                  feat_map=jnp.asarray(feat_map[None]))
+    return np.asarray(fake[0]), maps
+
+
+def main(argv=None):
+    from PIL import Image
+
+    from sdn3d_tpu.data.textural_data import transform_image
+    from sdn3d_tpu.utils.visualizer import HTMLGallery, tensor2im, \
+        tensor2label
+
+    args = build_argparser().parse_args(argv)
+    trainer, state = load_trainer(args)
+    wh = (args.fine_width, args.fine_height)
+
+    base_img_t = transform_image(
+        Image.open(args.edit_source).convert("RGB"), args.load_size, wh)
+    base_label = (np.asarray(transform_image(
+        Image.open(args.segm_path), args.load_size, wh, nearest=True,
+        normalize=False)) * 255.0).astype(np.int32)[..., 0]
+
+    gallery = HTMLGallery(args.results_dir, "sdn3d_tpu edit results")
+    for i in range(args.edit_num):
+        fake, maps = generate_edit_frame(trainer, state, base_img_t,
+                                         base_label, args.edit_dir, i, wh,
+                                         args)
+        gallery.add_images({
+            "input_label": tensor2label(maps["label"], 14),
+            "synthesized_image": tensor2im(fake),
+            "real_image": tensor2im(base_img_t),
+        }, f"{i:05d}")
+        print(f"generated edit frame {i:05d}")
+    out = gallery.save()
+    print(f"gallery: {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,148 @@
+"""Geometric branch CLI (mirrors geometric/scripts/main.py).
+
+--do test --mode extend --source maskrcnn|gt --edit_json ... : per-image
+de-render + edit + re-render, writing {name}.png (instance map),
+{name}.json, {name}-normal.png, {name}-depth.png, {name}.pkl — the
+inter-branch filesystem contract (scripts/main.py:530-622).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--do", choices=["test"], default="test")
+    p.add_argument("--mode", choices=["pretrain", "full", "finetune",
+                                      "extend"], default="extend")
+    p.add_argument("--source", choices=["gt", "maskrcnn"], default="maskrcnn")
+    p.add_argument("--num_opts", type=int, default=0)
+    p.add_argument("--image_size", type=int, default=256)
+    p.add_argument("--render_size", type=int, default=384)
+    p.add_argument("--ckpt_dir", default=None)
+    p.add_argument("--maskrcnn_ckpt", default=None)
+    p.add_argument("--shapenet_root",
+                   default=os.environ.get("SHAPENET_ROOT_DIR"))
+    p.add_argument("--edit_json", default=None)
+    p.add_argument("--input_image", default=None,
+                   help="single-image mode: path to the RGB frame")
+    p.add_argument("--input_masks", default=None,
+                   help="npz with rois [N,4], masks [N,1,H,W], class_ids [N]"
+                        " (gt source)")
+    p.add_argument("--output_dir", default="./geometric_out")
+    return p
+
+
+def load_derenderer(args):
+    import jax
+    import jax.numpy as jnp
+
+    from sdn3d_tpu.core.checkpoint import restore_checkpoint
+    from sdn3d_tpu.geometry.assets import load_shapenet_bank
+    from sdn3d_tpu.models.derenderer import Derenderer, DeviceMeshBank
+
+    model = Derenderer(num_classes=8)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, args.image_size,
+                                          args.image_size, 3)),
+        jnp.zeros((1, 2)), jnp.zeros((1, 2)), train=False)
+    if args.ckpt_dir:
+        variables, step = restore_checkpoint(args.ckpt_dir, variables)
+        print(f"restored derenderer checkpoint step {step}")
+    else:
+        print("WARNING: no --ckpt_dir; random derenderer weights")
+    bank = DeviceMeshBank.from_host(load_shapenet_bank(args.shapenet_root))
+    return model, variables, bank
+
+
+def detect_objects(args, image_rgb: np.ndarray):
+    """Object proposals: from a GT npz or from Mask R-CNN."""
+    if args.source == "gt" or args.input_masks:
+        data = np.load(args.input_masks)
+        return data["class_ids"], data["masks"], data["rois"]
+
+    import jax
+    import jax.numpy as jnp
+
+    from sdn3d_tpu.core.checkpoint import restore_checkpoint
+    from sdn3d_tpu.pipelines.detect import MaskRCNNDetector
+
+    det = MaskRCNNDetector()
+    variables = det.init(jax.random.PRNGKey(0))
+    if args.maskrcnn_ckpt:
+        variables, _ = restore_checkpoint(args.maskrcnn_ckpt, variables)
+    else:
+        print("WARNING: no --maskrcnn_ckpt; random detector weights")
+    return det.detect(variables, image_rgb)
+
+
+def save_outputs(out: dict, output_dir: str, name: str) -> None:
+    """The inter-branch filesystem contract (scripts/main.py:530-622)."""
+    from PIL import Image
+
+    os.makedirs(output_dir, exist_ok=True)
+    Image.fromarray(out["instance_map"].astype(np.uint8)).save(
+        os.path.join(output_dir, f"{name}.png"))
+    nrm = np.clip(out["normal_map"].transpose(1, 2, 0) * 255, 0,
+                  255).astype(np.uint8)
+    Image.fromarray(nrm).save(os.path.join(output_dir, f"{name}-normal.png"))
+    dep = (np.clip(out["depth_map"], 0, 1) * 65535).astype(np.uint16)
+    Image.fromarray(dep, mode="I;16").save(
+        os.path.join(output_dir, f"{name}-depth.png"))
+    with open(os.path.join(output_dir, f"{name}.json"), "w") as f:
+        json.dump(out["json_obj"], f, indent=4)
+    with open(os.path.join(output_dir, f"{name}.pkl"), "wb") as f:
+        pickle.dump(out["state"], f)
+
+
+def main(argv=None):
+    from PIL import Image
+
+    from sdn3d_tpu.models.derenderer import TargetType
+    from sdn3d_tpu.pipelines.derender_infer import (
+        DerenderInferConfig, derender_image)
+
+    args = build_argparser().parse_args(argv)
+    model, variables, bank = load_derenderer(args)
+    cfg = DerenderInferConfig(
+        image_size=args.image_size, render_size=args.render_size,
+        num_opts=args.num_opts, mode=TargetType.BY_NAME[args.mode])
+
+    if args.edit_json:
+        from sdn3d_tpu.data.vkitti import load_edit_json
+        items = load_edit_json(args.edit_json)
+    else:
+        items = [None]
+
+    assert args.input_image, "provide --input_image (dataset mode TBD)"
+    image = np.asarray(Image.open(args.input_image).convert("RGB"))
+    class_ids, masks, rois = detect_objects(args, image)
+    # keep <=16 largest masks (scripts/main.py:812-818)
+    if len(class_ids) > cfg.max_objects:
+        areas = masks[:, 0].sum((1, 2))
+        keep = np.argsort(-areas)[:cfg.max_objects]
+        class_ids, masks, rois = class_ids[keep], masks[keep], rois[keep]
+
+    if items == [None]:
+        out = derender_image(variables, model, bank, image, class_ids,
+                             masks, rois, cfg)
+        save_outputs(out, args.output_dir,
+                     os.path.splitext(os.path.basename(args.input_image))[0])
+        return
+
+    for i, item in enumerate(items):
+        ops = item.operations if item else None
+        out = derender_image(variables, model, bank, image, class_ids,
+                             masks, rois, cfg, operations=ops)
+        save_outputs(out, args.output_dir, f"{i:05d}")
+        print(f"wrote {i:05d} ({len(ops or [])} ops)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""Semantic branch inference CLI (mirrors semantic/vkitti_test.py).
+
+Modes: single image (--test_img path/to.png) or whole benchmark list
+(--test_img benchmark with --edit_json).  Writes raw label PNGs consumed by
+the downstream branches (vkitti_test.py:21-27,46-79) plus colorized
+previews.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--test_img", required=True,
+                   help="image path, or 'benchmark'")
+    p.add_argument("--data_root", default=os.environ.get("VKITTI_ROOT_DIR"))
+    p.add_argument("--edit_json", default=None)
+    p.add_argument("--ckpt_dir", default=None)
+    p.add_argument("--result", default="./semantic_out")
+    p.add_argument("--num_class", type=int, default=14)
+    p.add_argument("--scales", type=int, nargs="+",
+                   default=[100, 150, 200, 300, 375])
+    return p
+
+
+def load_model(args):
+    import jax
+    import jax.numpy as jnp
+
+    from sdn3d_tpu.core.checkpoint import restore_checkpoint
+    from sdn3d_tpu.models.semantic import SemanticModel
+
+    model = SemanticModel(num_class=args.num_class)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    if args.ckpt_dir:
+        variables, step = restore_checkpoint(args.ckpt_dir, variables)
+        print(f"restored semantic checkpoint step {step}")
+    else:
+        print("WARNING: no --ckpt_dir; running with random weights")
+    return model, variables
+
+
+def infer_image(model, variables, image_rgb: np.ndarray, args) -> np.ndarray:
+    from sdn3d_tpu.pipelines.semantic import multiscale_inference
+
+    # normalization: mean 0.5 std 0.25 BGR-free variant documented in
+    # data layer; the reference uses ImageNet-ish stats (vkitti_dataset.py)
+    img = image_rgb.astype(np.float32) / 255.0
+    img = (img - 0.5) / 0.25
+    probs = multiscale_inference(variables, model, img,
+                                 scales=tuple(args.scales),
+                                 num_class=args.num_class)
+    return probs.argmax(-1).astype(np.uint8)
+
+
+def main(argv=None):
+    from PIL import Image
+
+    from sdn3d_tpu.utils.visualizer import tensor2label
+
+    args = build_argparser().parse_args(argv)
+    os.makedirs(args.result, exist_ok=True)
+    model, variables = load_model(args)
+
+    if args.test_img == "benchmark":
+        from sdn3d_tpu.data.vkitti import load_edit_json, benchmark_split
+        assert args.edit_json and args.data_root
+        items = benchmark_split(load_edit_json(args.edit_json))
+        names = [(i.world, i.topic, i.source) for i in items]
+        paths = sorted({
+            os.path.join(args.data_root, "vkitti_1.3.1_rgb", w, t,
+                         f"{s}.png") for (w, t, s) in names})
+    else:
+        paths = [args.test_img]
+
+    for path in paths:
+        image = np.asarray(Image.open(path).convert("RGB"))
+        pred = infer_image(model, variables, image, args)
+        stem = os.path.splitext(os.path.basename(path))[0]
+        Image.fromarray(pred).save(os.path.join(args.result, f"{stem}.png"))
+        Image.fromarray(tensor2label(pred, args.num_class)).save(
+            os.path.join(args.result, f"{stem}_color.png"))
+        print(f"wrote {stem}.png")
+
+
+if __name__ == "__main__":
+    main()

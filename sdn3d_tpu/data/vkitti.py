@@ -138,11 +138,14 @@ def transform_rgb(image_rgb: np.ndarray, roi: Sequence[int],
                   mean=(0.5, 0.5, 0.5), std=(0.25, 0.25, 0.25)) -> np.ndarray:
     """Square-crop, resize, normalize an object crop for the derenderer
     (the per-ROI path in geometric/scripts/main.py:365-373).  Returns
-    [image_size, image_size, 3] float32 NHWC."""
-    crop = crop_square(image_rgb.astype(np.float32) / 255.0, roi, fill=0.5)
-    crop = resize_bilinear_np(crop, image_size)
-    return ((crop - np.asarray(mean, np.float32))
-            / np.asarray(std, np.float32)).astype(np.float32)
+    [image_size, image_size, 3] float32 NHWC.
+
+    Routed through the native host library when built (PIL-exact
+    resampling, no per-object PIL round trips)."""
+    from sdn3d_tpu.data import native
+    return native.crop_square_resize(
+        image_rgb.astype(np.float32) / 255.0, [int(v) for v in roi],
+        image_size, fill=0.5, mean=mean, std=std)
 
 
 def transform_mask(mask: np.ndarray, roi: Sequence[int],

@@ -28,6 +28,15 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), (axis,))
 
 
+def make_mesh_for_batch(batch_size: int, axis: str = DATA_AXIS) -> Mesh:
+    """Data mesh over the largest divisor of batch_size that fits the
+    device count (batches must divide evenly across the mesh)."""
+    n = len(jax.devices())
+    while batch_size % n:
+        n -= 1
+    return make_mesh(n, axis)
+
+
 def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
     """Shard the leading (batch) axis across the mesh."""
     return NamedSharding(mesh, P(axis))

@@ -1,0 +1,117 @@
+"""Mask R-CNN detection wrapper: mold -> network -> unmold.
+
+Re-expression of maskrcnn/model.py:1610-1654 (detect), :2046-2082
+(mold_inputs: min/max-dim resize + square pad + mean subtraction) and
+:2084-2128 (unmold_detections: box unscaling, per-class mask threshold,
+full-frame paste).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+
+
+from sdn3d_tpu.models.maskrcnn import (
+    MaskRCNN, MaskRCNNConfig, generate_pyramid_anchors)
+
+
+def resize_image(image: np.ndarray, min_dim: int, max_dim: int
+                 ) -> Tuple[np.ndarray, Tuple[int, int, int, int], float]:
+    """maskrcnn/utils.py:272-335: scale so min side >= min_dim and max side
+    <= max_dim, then pad to (max_dim, max_dim).  Returns (molded, window,
+    scale)."""
+    from PIL import Image as PILImage
+
+    h, w = image.shape[:2]
+    scale = max(1.0, min_dim / min(h, w))
+    if round(max(h, w) * scale) > max_dim:
+        scale = max_dim / max(h, w)
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    img = np.asarray(PILImage.fromarray(image).resize((nw, nh),
+                                                      PILImage.BILINEAR))
+    top = (max_dim - nh) // 2
+    left = (max_dim - nw) // 2
+    out = np.zeros((max_dim, max_dim, 3), image.dtype)
+    out[top:top + nh, left:left + nw] = img
+    window = (top, left, top + nh, left + nw)
+    return out, window, scale
+
+
+@dataclasses.dataclass
+class MaskRCNNDetector:
+    config: MaskRCNNConfig = MaskRCNNConfig()
+
+    def __post_init__(self):
+        self.model = MaskRCNN(config=self.config)
+        self.anchors = generate_pyramid_anchors(self.config)
+
+    def init(self, rng):
+        import jax.numpy as jnp
+
+        img = jnp.zeros((1,) + self.config.image_shape)
+        return self.model.init(rng, img, jnp.asarray(self.anchors),
+                               (0.0, 0.0, float(self.config.image_max_dim),
+                                float(self.config.image_max_dim)),
+                               train=False)
+
+    def detect(self, variables, image_rgb: np.ndarray,
+               mask_threshold: float = 0.5
+               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """image_rgb [H, W, 3] uint8 -> (class_ids [N], masks [N,1,H,W],
+        rois [N,4] pixel coords in the original frame)."""
+        import jax.numpy as jnp
+        from PIL import Image as PILImage
+
+        cfg = self.config
+        H, W = image_rgb.shape[:2]
+        molded, window, scale = resize_image(image_rgb, cfg.image_min_dim,
+                                             cfg.image_max_dim)
+        molded = molded.astype(np.float32) - np.asarray(cfg.mean_pixel,
+                                                        np.float32)
+        out = self.model.apply(variables, jnp.asarray(molded[None]),
+                               jnp.asarray(self.anchors),
+                               tuple(float(v) for v in window), train=False)
+
+        dets = np.asarray(out["detections"])          # [D, 6] pixel (molded)
+        valid = np.asarray(out["det_valid"])
+        masks = np.asarray(out["masks"])              # [D, mh, mw, C]
+
+        class_ids, full_masks, rois = [], [], []
+        for i in range(len(dets)):
+            if not valid[i]:
+                continue
+            y1, x1, y2, x2, cid, score = dets[i]
+            cid = int(cid)
+            if cid <= 0 or y2 <= y1 or x2 <= x1:
+                continue
+            # back to original frame (model.py:2104-2109)
+            oy1 = (y1 - window[0]) / scale
+            ox1 = (x1 - window[1]) / scale
+            oy2 = (y2 - window[0]) / scale
+            ox2 = (x2 - window[1]) / scale
+            oy1, oy2 = np.clip([oy1, oy2], 0, H)
+            ox1, ox2 = np.clip([ox1, ox2], 0, W)
+            if oy2 - oy1 < 1 or ox2 - ox1 < 1:
+                continue
+            m = masks[i, :, :, cid]
+            m = np.asarray(PILImage.fromarray(
+                (m * 255).astype(np.uint8)).resize(
+                (int(ox2 - ox1), int(oy2 - oy1)), PILImage.BILINEAR))
+            m = (m.astype(np.float32) / 255.0 >= mask_threshold)
+            full = np.zeros((H, W), np.float32)
+            full[int(oy1):int(oy1) + m.shape[0],
+                 int(ox1):int(ox1) + m.shape[1]] = m
+            class_ids.append(cid)
+            full_masks.append(full[None])
+            rois.append([oy1, ox1, oy2, ox2])
+
+        if not class_ids:
+            return (np.zeros((0,), np.int32),
+                    np.zeros((0, 1, H, W), np.float32),
+                    np.zeros((0, 4), np.float32))
+        return (np.asarray(class_ids, np.int32),
+                np.stack(full_masks).astype(np.float32),
+                np.asarray(rois, np.float32))

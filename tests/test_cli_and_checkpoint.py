@@ -1,0 +1,104 @@
+"""CLI surface + checkpoint round-trip tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from sdn3d_tpu.core.checkpoint import (
+        save_checkpoint, restore_checkpoint, latest_step, load_meta)
+
+    state = {"params": {"w": jnp.arange(6.0).reshape(2, 3)},
+             "step": jnp.asarray(7)}
+    save_checkpoint(str(tmp_path / "ck"), 7, state, meta={"lr": 0.1})
+    save_checkpoint(str(tmp_path / "ck"), 12, state, meta={"lr": 0.2})
+    assert latest_step(str(tmp_path / "ck")) == 12
+    template = {"params": {"w": jnp.zeros((2, 3))}, "step": jnp.asarray(0)}
+    restored, step = restore_checkpoint(str(tmp_path / "ck"), template)
+    assert step == 12
+    np.testing.assert_allclose(np.asarray(restored["params"]["w"]),
+                               np.arange(6.0).reshape(2, 3))
+    assert load_meta(str(tmp_path / "ck"))["meta"]["lr"] == 0.2
+
+
+def test_semantic_train_cli_synthetic(tmp_path):
+    from sdn3d_tpu.cli.semantic_train import main
+
+    main(["--synthetic", "--num_iters", "2", "--batch_size", "2",
+          "--crop_size", "32", "--save_every", "2",
+          "--ckpt_dir", str(tmp_path / "ck")])
+    from sdn3d_tpu.core.checkpoint import latest_step
+    assert latest_step(str(tmp_path / "ck")) == 2
+
+
+def test_semantic_test_cli_single_image(tmp_path):
+    from PIL import Image
+    from sdn3d_tpu.cli.semantic_test import main
+
+    img = (np.random.RandomState(0).rand(48, 64, 3) * 255).astype(np.uint8)
+    p = tmp_path / "img.png"
+    Image.fromarray(img).save(p)
+    main(["--test_img", str(p), "--result", str(tmp_path / "out"),
+          "--scales", "32", "48"])
+    pred = np.asarray(Image.open(tmp_path / "out" / "img.png"))
+    assert pred.shape == (48, 64)
+    assert pred.max() < 14
+
+
+def test_visualizer_gallery(tmp_path):
+    from sdn3d_tpu.utils.visualizer import HTMLGallery, tensor2im, \
+        tensor2label
+
+    g = HTMLGallery(str(tmp_path / "web"), "test")
+    g.add_images({
+        "a": tensor2im(np.zeros((8, 8, 3), np.float32)),
+        "b": tensor2label(np.arange(64).reshape(8, 8) % 14, 14),
+    }, "frame0")
+    out = g.save()
+    assert os.path.exists(out)
+    html = open(out).read()
+    assert "frame0_a.png" in html and "frame0_b.png" in html
+
+
+def test_textural_data_assembly():
+    from sdn3d_tpu.data.textural_data import (
+        assemble_condition_maps, dense_instance_slots, splat_feat_codes,
+        POSE_BINS)
+
+    H, W = 16, 24
+    segm = np.full((H, W), 4, np.int32)       # raw id 4 -> label 5 after +1
+    segm[:4] = 1                              # raw 1 -> label 2 (car) -> 5
+    inst = np.zeros((H, W), np.int32)
+    inst[8:, 8:] = 2                          # object index 2
+    json_obj = {"2": {"class_id": 1, "alpha": 0.5}}
+
+    maps = assemble_condition_maps(segm, inst, json_obj)
+    # car pixels from the object get label 2; original raw car pixels -> 5
+    assert (maps["label"][8:, 8:] == 2).all()
+    assert (maps["label"][:4] == 5).all()
+    assert (maps["inst"][8:, 8:] == 2000).all()
+    assert (maps["inst"][0, 0] == maps["label"][0, 0])
+    expected_bin = int(np.digitize(0.5 / np.pi, POSE_BINS))
+    assert (maps["pose"][8:, 8:] == expected_bin).all()
+    assert (maps["pose"][0, 0] == 0)
+
+    slots, mapping = dense_instance_slots(maps["inst"], 8)
+    assert len(mapping) == len(np.unique(maps["inst"]))
+
+    feat = splat_feat_codes(maps["inst"], {2000: np.arange(5)})
+    np.testing.assert_allclose(feat[10, 10], np.arange(5))
+    np.testing.assert_allclose(feat[0, 0], 0)
+
+
+def test_geometric_cli_args():
+    from sdn3d_tpu.cli.geometric_main import build_argparser
+    args = build_argparser().parse_args(
+        ["--do", "test", "--mode", "extend", "--source", "maskrcnn",
+         "--num_opts", "25", "--edit_json", "x.json"])
+    assert args.mode == "extend" and args.num_opts == 25
