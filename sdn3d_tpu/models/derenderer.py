@@ -256,9 +256,12 @@ def render_blob(
         # Differentiable silhouettes (custom-VJP edge gradients) for the
         # reproject mask loss; normal/depth renders are not used in any
         # training loss (scripts/main.py:136-152).
+        # Windowed silhouette gradient for large training renders: the
+        # exact out-walk spans the whole image; contributions decay 1/dist.
+        gw = 0 if render_size <= 128 else 64
         out["_masks"] = render(verts_cam, faces, RenderType.Silhouette,
                                face_valid, image_size=render_size,
-                               viewing_angle=viewing_angle)
+                               viewing_angle=viewing_angle, grad_walk=gw)
         if mode & TargetType.normal:
             out["_normals"] = render(verts_cam, faces, RenderType.Normal,
                                      face_valid, image_size=render_size,

@@ -235,7 +235,165 @@ def rasterize_face_maps(
 
 
 # ---------------------------------------------------------------------------
-# NR-4: approximate silhouette gradient (dense re-expression)
+# NR-4: approximate silhouette gradient — pixel-parallel re-expression
+# ---------------------------------------------------------------------------
+
+def _silhouette_grad_pixelwise(
+    faces: jnp.ndarray,          # [B, F, 3, 3]
+    face_valid: jnp.ndarray,     # [B, F] (unused: fi only holds valid faces)
+    face_index: jnp.ndarray,     # [B, H, W] int32
+    alpha: jnp.ndarray,          # [B, H, W]
+    grad_alpha: jnp.ndarray,     # [B, H, W]
+    image_size: int,
+    eps: float,
+    walk: int = 0,
+) -> jnp.ndarray:
+    """NMR edge gradient (rasterize.py:514-745), re-derived pixel-parallel.
+
+    Key observation: every contribution in the reference's per-face edge
+    walks is gated by a face-index-map test, which uniquely assigns it to a
+    pixel whose OWN face is the walking face:
+      * IN pass — the walked pixel p satisfies face_index[p] == f; p can
+        compute the whole contribution from its own face's geometry.
+      * OUT pass — the walk starts at an in-boundary pixel q with
+        face_index[q] == f and d1_in(q) == q's coordinate; the walked
+        pixels are q's column neighbours, reachable with shifted arrays.
+    So the O(F * span * image) thread walks become O(P) elementwise work
+    plus a `walk`-step shifted-accumulation loop and one segment-sum
+    scatter — no loop over faces at all.
+
+    walk: max out-walk length; 0 = image_size (exact reference semantics).
+    Contributions decay as 1/dist, so small windows are accurate and much
+    cheaper for training-sized images.
+    """
+    B, F = faces.shape[:2]
+    isz = image_size
+    W = isz if walk <= 0 else min(walk, isz)
+
+    hit = face_index >= 0
+    fi_c = jnp.where(hit, face_index, 0)
+
+    # Per-pixel gathered vertex coords (pixel space) of the pixel's face.
+    pp_all = 0.5 * (faces[..., :2] * isz + isz - 1)       # [B, F, 3, 2]
+    pp_px = jax.vmap(lambda pb, fb: pb[fb])(pp_all, fi_c)  # [B, H, W, 3, 2]
+
+    yi = jax.lax.broadcasted_iota(_f32, (isz, isz), 0)[None]
+    xi = jax.lax.broadcasted_iota(_f32, (isz, isz), 1)[None]
+
+    # acc[..., vert, comp]: per-pixel gradient contribution to the pixel's
+    # own face's vertices.
+    acc = jnp.zeros((B, isz, isz, 3, 2), _f32)
+
+    for axis in range(2):
+        if axis == 0:
+            u_all = pp_px[..., 0]
+            v_all = pp_px[..., 1]
+            d0 = xi
+            d1 = yi
+            shift_axis = 1             # walk along rows (y)
+        else:
+            u_all = pp_px[..., 1]
+            v_all = pp_px[..., 0]
+            d0 = yi
+            d1 = xi
+            shift_axis = 2             # walk along cols (x)
+
+        for e in range(3):
+            i0, i1, i2 = e, (e + 1) % 3, (e + 2) % 3
+            Au, Bu, Cu = u_all[..., i0], u_all[..., i1], u_all[..., i2]
+            Av, Bv, Cv = v_all[..., i0], v_all[..., i1], v_all[..., i2]
+
+            nonvert = Bu != Au
+            slope = (Bv - Av) / jnp.where(nonvert, Bu - Au, 1.0)
+            d1_cross = slope * (d0 - Au) + Av
+            if axis == 0:
+                direction = jnp.where(Au < Bu, -1.0, 1.0)
+            else:
+                direction = jnp.where(Au < Bu, 1.0, -1.0)
+            d1_in = jnp.where(direction > 0, jnp.floor(d1_cross),
+                              jnp.ceil(d1_cross))
+            d1_out = d1_in + direction
+
+            col_ok = (hit & nonvert
+                      & (d0 >= jnp.ceil(jnp.minimum(Au, Bu)))
+                      & (d0 <= jnp.maximum(Au, Bu))
+                      & (d1_in >= 0) & (d1_in <= isz - 1)
+                      & (d1_out >= 0) & (d1_out <= isz - 1))
+
+            base_k = (Bu - Au) * 2.0 / isz
+            distA_ok = Bu != d0
+            distB_ok = Au != d0
+            invA = 1.0 / jnp.where(distA_ok, Bu - d0, 1.0)
+            invB = 1.0 / jnp.where(distB_ok, d0 - Au, 1.0)
+
+            def dist_terms(d1_at, diff, gate):
+                dA = base_k * (d1_at - d1_cross) * invA
+                dA = jnp.where(dA > 0, dA + eps, dA - eps)
+                dB = base_k * (d1_at - d1_cross) * invB
+                dB = jnp.where(dB > 0, dB + eps, dB - eps)
+                gA = jnp.where(gate & distA_ok, diff / dA, 0.0)
+                gB = jnp.where(gate & distB_ok, diff / dB, 0.0)
+                return gA, gB
+
+            # ---------------- IN pass (no loop) ----------------
+            use_ac = (d0 - Au) * (d0 - Cu) < 0
+            slope_ac = (Cv - Av) / jnp.where(Cu != Au, Cu - Au, 1.0)
+            slope_bc = (Bv - Cv) / jnp.where(Bu != Cu, Bu - Cu, 1.0)
+            d0_cross2 = jnp.where(use_ac, slope_ac * (d0 - Au) + Av,
+                                  slope_bc * (d0 - Cu) + Cv)
+            d1_lim_in = jnp.where(direction > 0, jnp.ceil(d0_cross2),
+                                  jnp.floor(d0_cross2))
+            lo_in = jnp.maximum(jnp.minimum(d1_in, d1_lim_in), 0.0)
+            hi_in = jnp.minimum(jnp.maximum(d1_in, d1_lim_in), isz - 1.0)
+            in_range = (d1 >= lo_in) & (d1 <= hi_in)
+
+            out_idx = jnp.clip(d1_out.astype(jnp.int32), 0, isz - 1)
+            alpha_out = jnp.take_along_axis(
+                alpha, out_idx, axis=shift_axis)
+            diff_in = (alpha - alpha_out) * grad_alpha
+            gate_in = col_ok & in_range & (diff_in > 0)
+            gA, gB = dist_terms(d1, diff_in, gate_in)
+            acc = acc.at[..., i0, 1 - axis].add(gA)
+            acc = acc.at[..., i1, 1 - axis].add(gB)
+
+            # ---------------- OUT pass (shifted-array walk) -------------
+            is_in_pixel = col_ok & (d1_in == d1)
+            d1_lim_out = jnp.where(direction > 0, isz - 1.0, 0.0)
+            lo_out = jnp.maximum(jnp.minimum(d1_out, d1_lim_out), 0.0)
+            hi_out = jnp.minimum(jnp.maximum(d1_out, d1_lim_out), isz - 1.0)
+
+            def out_step(k, acc_pair):
+                accA, accB = acc_pair
+                d1k = d1 + direction * k.astype(_f32)
+                in_seg = (d1k >= lo_out) & (d1k <= hi_out)
+                a_fwd = jnp.roll(alpha, -k, axis=shift_axis)
+                a_bwd = jnp.roll(alpha, k, axis=shift_axis)
+                g_fwd = jnp.roll(grad_alpha, -k, axis=shift_axis)
+                g_bwd = jnp.roll(grad_alpha, k, axis=shift_axis)
+                a_k = jnp.where(direction > 0, a_fwd, a_bwd)
+                g_k = jnp.where(direction > 0, g_fwd, g_bwd)
+                diff = (a_k - alpha) * g_k
+                gate = is_in_pixel & in_seg & (diff > 0)
+                gA_k, gB_k = dist_terms(d1k, diff, gate)
+                return accA + gA_k, accB + gB_k
+
+            accA, accB = jax.lax.fori_loop(
+                1, W + 1, out_step,
+                (jnp.zeros((B, isz, isz), _f32),
+                 jnp.zeros((B, isz, isz), _f32)))
+            acc = acc.at[..., i0, 1 - axis].add(accA)
+            acc = acc.at[..., i1, 1 - axis].add(accB)
+
+    # Scatter per-pixel contributions onto faces: grad -= diff/dist.
+    seg = (fi_c + jnp.arange(B)[:, None, None] * F).reshape(-1)
+    vals = jnp.where(hit[..., None, None], -acc, 0.0).reshape(-1, 6)
+    g = jax.ops.segment_sum(vals, seg, num_segments=B * F)
+    g = g.reshape(B, F, 3, 2)
+    return jnp.concatenate([g, jnp.zeros((B, F, 3, 1), _f32)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# NR-4: face-chunk dense variant (kept for cross-validation)
 # ---------------------------------------------------------------------------
 
 def _silhouette_grad(
@@ -470,7 +628,8 @@ def _depth_grad(
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def _make_silhouette_fn(image_size: int, near: float, far: float, eps: float):
+def _make_silhouette_fn(image_size: int, near: float, far: float, eps: float,
+                        walk: int = 0):
     @jax.custom_vjp
     def sil(faces, face_valid):
         fi, _, _, _ = rasterize_face_maps(
@@ -485,7 +644,8 @@ def _make_silhouette_fn(image_size: int, near: float, far: float, eps: float):
 
     def bwd(res, g):
         faces, face_valid, fi, alpha = res
-        gf = _silhouette_grad(faces, face_valid, fi, alpha, g, image_size, eps)
+        gf = _silhouette_grad_pixelwise(faces, face_valid, fi, alpha, g,
+                                        image_size, eps, walk=walk)
         return gf, _float0_like(face_valid)
 
     sil.defvjp(fwd, bwd)
@@ -533,13 +693,19 @@ def rasterize_silhouettes(
     near: float = DEFAULT_NEAR,
     far: float = DEFAULT_FAR,
     eps: float = DEFAULT_EPS,
+    grad_walk: int = 0,
 ) -> jnp.ndarray:
     """Alpha maps [B, H, W] (rasterize.py:1008-1031): 2x supersampled when
-    anti_aliasing, vertically flipped, average-pooled."""
+    anti_aliasing, vertically flipped, average-pooled.
+
+    grad_walk: out-walk window for the approximate silhouette gradient;
+    0 = exact reference semantics (walk to the border).  Large training
+    renders should pass ~48-64 (contributions decay as 1/dist)."""
     size = image_size * 2 if anti_aliasing else image_size
     if face_valid is None:
         face_valid = jnp.ones(faces.shape[:2], bool)
-    alpha = _make_silhouette_fn(size, near, far, eps)(faces, face_valid)
+    alpha = _make_silhouette_fn(size, near, far, eps,
+                                grad_walk)(faces, face_valid)
     alpha = _flip_rows(alpha, 1)
     if anti_aliasing:
         alpha = _avg_pool2(alpha)

@@ -48,6 +48,7 @@ def render(
     near: float = R.DEFAULT_NEAR,
     far: float = R.DEFAULT_FAR,
     eps: float = R.DEFAULT_EPS,
+    grad_walk: int = 0,
 ) -> jnp.ndarray:
     """Render [B, V, 3] vertices + [B, F, 3] int faces to 2.5D maps.
 
@@ -82,7 +83,8 @@ def render(
 
     if render_type == RenderType.Silhouette:
         a = R.rasterize_silhouettes(face_verts, face_valid, image_size,
-                                    anti_aliasing, near, far, eps)
+                                    anti_aliasing, near, far, eps,
+                                    grad_walk=grad_walk)
         return a[:, None]
     if render_type == RenderType.Depth:
         d = R.rasterize_depth(face_verts, face_valid, image_size,

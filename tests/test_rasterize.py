@@ -172,3 +172,41 @@ def test_face_colors_render():
     assert np.allclose(rgb[0, :, 8, 8], [0.25, 0.5, 0.75], atol=1e-5)
     # corner is background
     assert np.allclose(rgb[0, :, 0, 0], 1.0)
+
+
+def test_silhouette_backward_pixelwise_vs_facewise(rng):
+    """The pixel-parallel backward must equal the face-chunk dense variant
+    (both re-express rasterize.py:514-745)."""
+    faces = random_faces(rng, batch=2, num_faces=7)
+    isz = 20
+    g_rng = np.random.RandomState(5)
+    cot = jnp.asarray(g_rng.randn(2, isz, isz).astype(np.float32))
+    valid = jnp.ones((2, 7), bool)
+    fi, _, _, _ = R.rasterize_face_maps(faces, valid, isz, impl="xla")
+    alpha = (fi >= 0).astype(jnp.float32)
+    g1 = R._silhouette_grad(jnp.asarray(faces), valid, fi, alpha, cot,
+                            isz, R.DEFAULT_EPS)
+    g2 = R._silhouette_grad_pixelwise(jnp.asarray(faces), valid, fi, alpha,
+                                      cot, isz, R.DEFAULT_EPS)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-3,
+                               atol=1e-3)
+
+
+def test_silhouette_backward_windowed_walk(rng):
+    """A bounded out-walk approximates the exact gradient (1/dist decay)."""
+    faces = random_faces(rng, batch=1, num_faces=4)
+    isz = 24
+    cot = jnp.asarray(np.random.RandomState(6).randn(1, isz, isz)
+                      .astype(np.float32))
+    valid = jnp.ones((1, 4), bool)
+    fi, _, _, _ = R.rasterize_face_maps(faces, valid, isz, impl="xla")
+    alpha = (fi >= 0).astype(jnp.float32)
+    g_exact = R._silhouette_grad_pixelwise(jnp.asarray(faces), valid, fi,
+                                           alpha, cot, isz, R.DEFAULT_EPS)
+    g_win = R._silhouette_grad_pixelwise(jnp.asarray(faces), valid, fi,
+                                         alpha, cot, isz, R.DEFAULT_EPS,
+                                         walk=8)
+    # same sign structure and dominated by the same terms
+    num = float(jnp.sum(jnp.abs(g_win - g_exact)))
+    den = float(jnp.sum(jnp.abs(g_exact))) + 1e-8
+    assert num / den < 0.5, num / den
