@@ -1,0 +1,104 @@
+"""Geometric branch (derenderer) training CLI (mirrors
+geometric/scripts/main.py --do train).
+
+Modes map to TargetType bitmasks (derender3d/__init__.py): pretrain
+(geometry-only losses), full (geometry + reprojection), finetune, extend.
+Data parallelism via the device mesh; the mesh bank is threaded through
+jit as an argument.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--mode", choices=["pretrain", "full", "finetune",
+                                      "extend"], default="full")
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--image_size", type=int, default=256)
+    p.add_argument("--render_size", type=int, default=384)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--weight_decay", type=float, default=1e-3)
+    p.add_argument("--mask_weight", type=float, default=0.1)
+    p.add_argument("--ffd_coeff_reg", type=float, default=1.0)
+    p.add_argument("--num_iters", type=int, default=50)
+    p.add_argument("--save_every", type=int, default=1000)
+    p.add_argument("--ckpt_dir", default="./derender_ckpt")
+    p.add_argument("--shapenet_root",
+                   default=os.environ.get("SHAPENET_ROOT_DIR"))
+    p.add_argument("--synthetic", action="store_true",
+                   help="synthetic mesh bank + random batches (smoke mode)")
+    p.add_argument("--grad_walk", type=int, default=64)
+    return p
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sdn3d_tpu.core.checkpoint import save_checkpoint
+    from sdn3d_tpu.data.synthetic import make_derender_batch, make_sphere_mesh
+    from sdn3d_tpu.geometry.assets import build_mesh_bank, load_shapenet_bank
+    from sdn3d_tpu.models.derenderer import (
+        Derenderer, DeviceMeshBank, TargetType)
+    from sdn3d_tpu.parallel import make_mesh_for_batch, shard_batch
+    from sdn3d_tpu.pipelines.derender import DerenderTrainer
+
+    args = build_argparser().parse_args(argv)
+    mode = TargetType.BY_NAME[args.mode]
+
+    if args.synthetic or not args.shapenet_root:
+        verts, faces = make_sphere_mesh(8, 16)
+        bank_host = build_mesh_bank([(verts, faces)] * 8)
+        print("synthetic mesh bank (8x sphere)")
+    else:
+        bank_host = load_shapenet_bank(args.shapenet_root)
+    bank = DeviceMeshBank.from_host(bank_host)
+
+    model = Derenderer(num_classes=8)
+    trainer = DerenderTrainer(
+        model=model, bank=bank, mode=mode, image_size=args.image_size,
+        render_size=args.render_size, mask_weight=args.mask_weight,
+        ffd_coeff_reg=args.ffd_coeff_reg, lr=args.lr,
+        weight_decay=args.weight_decay)
+
+    rng = np.random.RandomState(0)
+
+    def make_batch(seed):
+        b = make_derender_batch(args.batch_size, args.image_size, seed)
+        if mode & TargetType.reproject:
+            b["masks"] = np.zeros(
+                (args.batch_size, 1, args.render_size, args.render_size),
+                np.float32)
+            b["masks"][:, :, args.render_size // 4:-args.render_size // 4,
+                       args.render_size // 4:-args.render_size // 4] = 1.0
+            b["ignores"] = np.zeros_like(b["masks"])
+        return {k: jnp.asarray(v) for k, v in b.items()}
+
+    batch = make_batch(0)
+    state = trainer.init(jax.random.PRNGKey(0), batch)
+
+    mesh = make_mesh_for_batch(args.batch_size)
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+    bank_r = jax.device_put(bank, NamedSharding(mesh, P()))
+    step_fn = jax.jit(trainer.make_train_step())
+
+    for it in range(args.num_iters):
+        batch = shard_batch(make_batch(it + 1), mesh)
+        state, losses = step_fn(state, batch, jax.random.PRNGKey(it), bank_r)
+        if it % 10 == 0:
+            msg = " ".join(f"{k}={float(v):.4f}" for k, v in losses.items())
+            print(f"iter {it}: {msg}", flush=True)
+        if (it + 1) % args.save_every == 0 or it + 1 == args.num_iters:
+            save_checkpoint(args.ckpt_dir, it + 1, state, meta=vars(args))
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Textural branch (pix2pixHD) training CLI (mirrors textural/train.py):
+alternating G/D Adam steps with checkpoint/resume."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data_root", default=os.environ.get("VKITTI_ROOT_DIR"))
+    p.add_argument("--segm_dir", default=None)
+    p.add_argument("--geo_dir", default=None)
+    p.add_argument("--ckpt_dir", default="./textural_ckpt")
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--fine_width", type=int, default=624)
+    p.add_argument("--fine_height", type=int, default=192)
+    p.add_argument("--num_iters", type=int, default=50)
+    p.add_argument("--save_every", type=int, default=1000)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--no_vgg", action="store_true")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--small", action="store_true",
+                   help="small nets (smoke mode)")
+    return p
+
+
+def synthetic_batch(args, rng, cfg):
+    import jax.numpy as jnp
+
+    H, W = args.fine_height, args.fine_width
+    B = args.batch_size
+    inst = rng.randint(0, 4, (B, H, W)).astype(np.int32)
+    return {
+        "label": jnp.asarray(rng.randint(0, cfg.label_nc,
+                                         (B, H, W)).astype(np.int32)),
+        "inst": jnp.asarray(inst * 1000),
+        "inst_slots": jnp.asarray(inst),
+        "image": jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32) * 2 - 1),
+        "pose": jnp.asarray(rng.randint(0, cfg.pose_bins + 1,
+                                        (B, H, W)).astype(np.int32)),
+        "normal": jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32)),
+    }
+
+
+def main(argv=None):
+    import jax
+
+    from sdn3d_tpu.core.checkpoint import (
+        latest_step, restore_checkpoint, save_checkpoint)
+    from sdn3d_tpu.pipelines.textural import TexturalConfig, TexturalTrainer
+
+    args = build_argparser().parse_args(argv)
+    if args.small:
+        cfg = TexturalConfig(ngf=8, ndf=8, nef=4, n_downsample_global=2,
+                             n_blocks_global=2, n_downsample_e=2,
+                             n_layers_d=2, use_vgg_loss=not args.no_vgg,
+                             max_instances=8, lr=args.lr)
+    else:
+        cfg = TexturalConfig(use_vgg_loss=not args.no_vgg, lr=args.lr)
+    trainer = TexturalTrainer(cfg)
+    rng = np.random.RandomState(0)
+
+    state = trainer.init(jax.random.PRNGKey(0), args.fine_height,
+                         args.fine_width)
+    if latest_step(args.ckpt_dir) is not None:
+        state, step0 = restore_checkpoint(args.ckpt_dir, state)
+        print(f"resumed from step {step0}")
+
+    g_step = jax.jit(trainer.make_g_step())
+    d_step = jax.jit(trainer.make_d_step())
+
+    for it in range(args.num_iters):
+        batch = synthetic_batch(args, rng, cfg)   # dataset mode: see
+        # cli/edit_benchmark.py assembly; full VKITTI loader requires the
+        # dataset to be mounted.
+        state, g_losses = g_step(state, batch)
+        state, d_losses = d_step(state, batch)
+        if it % 10 == 0:
+            msg = " ".join(f"{k}={float(v):.3f}"
+                           for k, v in {**g_losses, **d_losses}.items())
+            print(f"iter {it}: {msg}", flush=True)
+        if (it + 1) % args.save_every == 0 or it + 1 == args.num_iters:
+            save_checkpoint(args.ckpt_dir, it + 1, state, meta=vars(args))
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -102,3 +102,47 @@ def test_geometric_cli_args():
         ["--do", "test", "--mode", "extend", "--source", "maskrcnn",
          "--num_opts", "25", "--edit_json", "x.json"])
     assert args.mode == "extend" and args.num_opts == 25
+
+
+def test_geometric_train_cli_synthetic(tmp_path):
+    from sdn3d_tpu.cli.geometric_train import main
+    main(["--synthetic", "--mode", "full", "--num_iters", "2",
+          "--batch_size", "2", "--image_size", "32", "--render_size", "32",
+          "--save_every", "2", "--ckpt_dir", str(tmp_path / "ck")])
+    from sdn3d_tpu.core.checkpoint import latest_step
+    assert latest_step(str(tmp_path / "ck")) == 2
+
+
+def test_textural_train_cli_synthetic(tmp_path):
+    from sdn3d_tpu.cli.textural_train import main
+    main(["--synthetic", "--small", "--no_vgg", "--num_iters", "2",
+          "--fine_width", "64", "--fine_height", "48", "--save_every", "2",
+          "--ckpt_dir", str(tmp_path / "ck")])
+    from sdn3d_tpu.core.checkpoint import latest_step
+    assert latest_step(str(tmp_path / "ck")) == 2
+    # resume path
+    main(["--synthetic", "--small", "--no_vgg", "--num_iters", "1",
+          "--fine_width", "64", "--fine_height", "48", "--save_every", "1",
+          "--ckpt_dir", str(tmp_path / "ck")])
+
+
+def test_image_pool():
+    from sdn3d_tpu.utils.image_pool import ImagePool
+    import numpy as np
+    pool = ImagePool(0)
+    x = np.ones((2, 3))
+    assert pool.query(x) is x
+    pool = ImagePool(4, seed=1)
+    for i in range(8):
+        out = pool.query(np.full((2, 3), i, np.float32))
+        assert out.shape == (2, 3)
+
+
+def test_profiling_utils(tmp_path):
+    from sdn3d_tpu.utils.profiling import StepTimer, trace
+    t = StepTimer()
+    with t.time("stage"):
+        pass
+    assert "stage" in t.summary()
+    with trace(None):
+        pass
