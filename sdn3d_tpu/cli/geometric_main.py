@@ -136,12 +136,20 @@ def main(argv=None):
                      os.path.splitext(os.path.basename(args.input_image))[0])
         return
 
+    from sdn3d_tpu.utils.locks import crash_guard, try_claim
     for i, item in enumerate(items):
-        ops = item.operations if item else None
-        out = derender_image(variables, model, bank, image, class_ids,
-                             masks, rois, cfg, operations=ops)
-        save_outputs(out, args.output_dir, f"{i:05d}")
-        print(f"wrote {i:05d} ({len(ops or [])} ops)")
+        name = f"{i:05d}"
+        # lock-file skip/claim for concurrent or resumed runs
+        # (scripts/main.py:707-716)
+        if not try_claim(args.output_dir, name):
+            print(f"skip {name} (locked)")
+            continue
+        with crash_guard(name):
+            ops = item.operations if item else None
+            out = derender_image(variables, model, bank, image, class_ids,
+                                 masks, rois, cfg, operations=ops)
+            save_outputs(out, args.output_dir, name)
+            print(f"wrote {name} ({len(ops or [])} ops)")
 
 
 if __name__ == "__main__":

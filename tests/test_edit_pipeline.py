@@ -118,3 +118,64 @@ def test_get_lists_split_sizes():
     train, test = get_lists("train"), get_lists("test")
     assert len(train) + len(test) == len(get_lists("all"))
     assert len(set(train) & set(test)) == 0
+
+
+def test_edit_2d_ablations():
+    from sdn3d_tpu.pipelines.ablations import edit_2d, edit_2d_plus
+    H, W = 64, 96
+    masks = np.zeros((2, 1, H, W), np.float32)
+    masks[0, 0, 10:30, 10:30] = 1
+    masks[1, 0, 30:50, 50:80] = 1
+    rois = np.asarray([[10, 10, 30, 30], [30, 50, 50, 80]], np.float32)
+    cls = np.asarray([1, 2])
+    ops = [{"type": "modify", "from": {"u": "20", "v": "20"},
+            "to": {"u": "40", "v": "20"}, "zoom": "1.0", "ry": "0.0"},
+           {"type": "delete", "from": {"u": "65", "v": "40"}}]
+    out = edit_2d((H, W), cls, masks, rois, ops)
+    # object 0 moved right by 20px, object 1 deleted
+    assert out["instance_map"][20, 40] == 1
+    assert not (out["instance_map"] == 2).any()
+    assert 2 not in out["json_obj"]
+
+    out2 = edit_2d_plus((H, W), cls, masks, rois,
+                        [{"type": "modify", "from": {"u": "20", "v": "20"},
+                          "to": {}, "zoom": "1.0",
+                          "ry": str(np.pi / 3)}])
+    # 2D+ foreshortens width by cos(ry) = 0.5
+    w1 = (out["instance_map"] == 1)[20].sum()
+    w2 = (out2["instance_map"] == 1)[20].sum()
+    assert w2 < w1
+
+
+def test_interactive_editor():
+    from sdn3d_tpu.pipelines.interactive import (
+        EditState, add_object, change_label, remove_object, transfer_style,
+        to_batch)
+    H, W = 16, 24
+    st = EditState(label=np.full((H, W), 5, np.int32),
+                   inst=np.full((H, W), 5, np.int32),
+                   feat_codes={})
+    mask = np.zeros((H, W), bool)
+    mask[4:10, 4:10] = True
+    st = add_object(st, mask, 2000, 2, np.arange(5, dtype=np.float32))
+    assert (st.inst[5, 5] == 2000) and (st.label[5, 5] == 2)
+    st = transfer_style(st, 2000, np.ones(5))
+    np.testing.assert_allclose(st.feat_codes[2000], 1.0)
+    region = np.zeros((H, W), bool)
+    region[:2] = True
+    st = change_label(st, region, 6)
+    assert (st.label[0] == 6).all()
+    batch = to_batch(st)
+    assert batch["feat_map"].shape == (1, H, W, 5)
+    np.testing.assert_allclose(batch["feat_map"][0, 5, 5], 1.0)
+    st = remove_object(st, 2000)
+    assert not (st.inst == 2000).any()
+
+
+def test_locks(tmp_path):
+    from sdn3d_tpu.utils.locks import try_claim, crash_guard
+    d = str(tmp_path)
+    assert try_claim(d, "00001")
+    assert not try_claim(d, "00001")
+    with crash_guard("00001"):
+        raise RuntimeError("boom")   # swallowed, frame skipped
