@@ -467,3 +467,49 @@ class MaskRCNN(nn.Module):
             "det_valid": det_valid,
             "masks": masks,
         }
+
+    def train_forward(self, images: jnp.ndarray, anchors: jnp.ndarray,
+                      gt_class_ids: jnp.ndarray, gt_boxes: jnp.ndarray,
+                      gt_masks: jnp.ndarray, rng: jax.Array
+                      ) -> Dict[str, jnp.ndarray]:
+        """Training graph (model.py:1783-1821 'training' mode): proposals ->
+        detection-target sampling -> heads on the sampled rois.
+
+        gt_boxes are NORMALIZED (y1,x1,y2,x2); gt_class_ids 0-padded;
+        gt_masks [G, mh, mw] mini-masks."""
+        from sdn3d_tpu.models.maskrcnn_train import detection_targets
+
+        cfg = self.config
+        pyramid = self.fpn(images, train=True)
+        mrcnn_feature_maps = pyramid[:4]
+
+        logits_l, probs_l, bbox_l = [], [], []
+        for p in pyramid:
+            lg, pb, bb = self.rpn(p)
+            logits_l.append(lg)
+            probs_l.append(pb)
+            bbox_l.append(bb)
+        rpn_class_logits = jnp.concatenate(logits_l, axis=1)
+        rpn_probs = jnp.concatenate(probs_l, axis=1)
+        rpn_bbox = jnp.concatenate(bbox_l, axis=1)
+
+        proposals, prop_valid = proposal_layer(
+            jax.lax.stop_gradient(rpn_probs[0]),
+            jax.lax.stop_gradient(rpn_bbox[0]),
+            anchors, cfg, cfg.post_nms_rois_training)
+
+        tgt = detection_targets(proposals, prop_valid, gt_class_ids,
+                                gt_boxes, gt_masks, rng, cfg)
+
+        cls_logits, cls_probs, bbox_deltas = self.classifier(
+            mrcnn_feature_maps, tgt["rois"], train=True)
+        pred_masks = self.mask(mrcnn_feature_maps, tgt["rois"], train=True)
+
+        return {
+            "rpn_class_logits": rpn_class_logits[0],
+            "rpn_bbox": rpn_bbox[0],
+            "targets": tgt,
+            "mrcnn_class_logits": cls_logits,
+            "mrcnn_bbox": bbox_deltas,
+            "mrcnn_masks": pred_masks,
+        }

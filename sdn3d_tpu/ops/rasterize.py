@@ -731,6 +731,59 @@ def rasterize_depth(
     return d
 
 
+def rasterize_rgbad(
+    faces: jnp.ndarray,
+    textures: Optional[jnp.ndarray] = None,
+    image_size: int = DEFAULT_IMAGE_SIZE,
+    anti_aliasing: bool = DEFAULT_ANTI_ALIASING,
+    near: float = DEFAULT_NEAR,
+    far: float = DEFAULT_FAR,
+    eps: float = DEFAULT_EPS,
+    background_color: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+    face_valid: Optional[jnp.ndarray] = None,
+    return_rgb: bool = True,
+    return_alpha: bool = True,
+    return_depth: bool = True,
+) -> dict:
+    """Full NMR entry point (rasterize.py:897-974): RGB via texture-cube
+    sampling + alpha + depth, 2x supersampled, vertically flipped,
+    average-pooled.  RGB is differentiable w.r.t. textures (NR-5 via
+    autodiff); geometry gradients flow through alpha/depth custom VJPs."""
+    from sdn3d_tpu.ops.textures import sample_textures
+
+    size = image_size * 2 if anti_aliasing else image_size
+    if face_valid is None:
+        face_valid = jnp.ones(faces.shape[:2], bool)
+
+    fi, w, d, _ = rasterize_face_maps(
+        jax.lax.stop_gradient(faces), face_valid, size, near, far,
+        return_face_inv=False)
+
+    out = {"rgb": None, "alpha": None, "depth": None}
+    if return_rgb:
+        assert textures is not None
+        rgb = sample_textures(jax.lax.stop_gradient(faces), textures, fi, w,
+                              d, eps, background_color)   # [B, H, W, 3]
+        rgb = jnp.moveaxis(rgb, -1, 1)                     # [B, 3, H, W]
+        rgb = _flip_rows(rgb, 2)
+        if anti_aliasing:
+            rgb = _avg_pool2(rgb)
+        out["rgb"] = rgb
+    if return_alpha:
+        alpha = _make_silhouette_fn(size, near, far, eps)(faces, face_valid)
+        alpha = _flip_rows(alpha, 1)
+        if anti_aliasing:
+            alpha = _avg_pool2(alpha)
+        out["alpha"] = alpha
+    if return_depth:
+        dep = _make_depth_fn(size, near, far)(faces, face_valid)
+        dep = _flip_rows(dep, 1)
+        if anti_aliasing:
+            dep = _avg_pool2(dep)
+        out["depth"] = dep
+    return out
+
+
 def rasterize_face_colors(
     faces: jnp.ndarray,
     colors: jnp.ndarray,

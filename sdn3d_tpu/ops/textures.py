@@ -1,0 +1,160 @@
+"""Texture-cube sampling, lighting, and texture loading — the RGB half of
+the neural mesh renderer.
+
+Re-expression of NR-3 (per-pixel depth-corrected trilinear sampling from
+per-face texture cubes, neural_renderer/rasterize.py:362-435), NR-5 (its
+backward — free via XLA autodiff of the gather formulation), lighting
+(neural_renderer/lighting.py:8-52) and NR-8 texture baking
+(neural_renderer/load_obj.py:11-92).  Unused by the 3D-SDN edit path
+(silhouette/normal/depth only) but part of the renderer's public API.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def sample_textures(
+    faces: jnp.ndarray,        # [B, F, 3, 3] camera-space (z used)
+    textures: jnp.ndarray,     # [B, F, ts, ts, ts, 3]
+    face_index: jnp.ndarray,   # [B, H, W]
+    weight: jnp.ndarray,       # [B, H, W, 3]
+    depth: jnp.ndarray,        # [B, H, W]
+    eps: float = 1e-4,
+    background: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+) -> jnp.ndarray:
+    """Per-pixel trilinear texture-cube sampling (rasterize.py:377-424).
+
+    texture_index_float[k] = w_k * (ts - 1 - eps) * depth / z_k; the 8
+    cube corners are blended with trilinear weights.  Differentiable w.r.t.
+    `textures` (gather autodiff = NR-5's atomicAdd scatter).
+    Returns rgb [B, H, W, 3].
+    """
+    B, F, ts = textures.shape[0], textures.shape[1], textures.shape[2]
+    H, W = face_index.shape[1:]
+    P = H * W
+
+    fi = face_index.reshape(B, P)
+    hit = fi >= 0
+    fi_c = jnp.where(hit, fi, 0)
+
+    # Per-pixel face vertex z [B, P, 3]
+    z = jax.vmap(lambda fb, ib: fb[ib])(faces[..., 2], fi_c)
+    w = weight.reshape(B, P, 3)
+    d = depth.reshape(B, P)
+
+    tif = w * (ts - 1 - eps) * (d[..., None] / z)          # [B, P, 3]
+    t0 = jnp.floor(tif)
+    frac = tif - t0
+    t0 = jnp.clip(t0.astype(jnp.int32), 0, ts - 1)
+    t1 = jnp.clip(t0 + 1, 0, ts - 1)
+
+    tex_flat = textures.reshape(B, F, ts * ts * ts, 3)
+
+    rgb = jnp.zeros((B, P, 3), jnp.float32)
+    for corner in range(8):
+        idx = []
+        wgt = jnp.ones((B, P), jnp.float32)
+        for k in range(3):
+            if (corner >> k) % 2 == 0:
+                idx.append(t0[..., k])
+                wgt = wgt * (1.0 - frac[..., k])
+            else:
+                idx.append(t1[..., k])
+                wgt = wgt * frac[..., k]
+        isc = (idx[0] * ts + idx[1]) * ts + idx[2]          # [B, P]
+        texel = jax.vmap(
+            lambda tb, fb, sb: tb[fb, sb])(tex_flat, fi_c, isc)  # [B, P, 3]
+        rgb = rgb + wgt[..., None] * texel
+
+    bg = jnp.asarray(background, jnp.float32)
+    rgb = jnp.where(hit[..., None], rgb, bg)
+    return rgb.reshape(B, H, W, 3)
+
+
+def lighting(faces: jnp.ndarray, textures: jnp.ndarray,
+             intensity_ambient: float = 0.5,
+             intensity_directional: float = 0.5,
+             color_ambient=(1, 1, 1), color_directional=(1, 1, 1),
+             direction=(0, 1, 0)) -> jnp.ndarray:
+    """Ambient + directional lighting baked into per-face textures
+    (neural_renderer/lighting.py:8-52)."""
+    B, F = faces.shape[:2]
+    ca = jnp.broadcast_to(jnp.asarray(color_ambient, jnp.float32), (B, 3))
+    cd = jnp.broadcast_to(jnp.asarray(color_directional, jnp.float32),
+                          (B, 3))
+    dirn = jnp.broadcast_to(jnp.asarray(direction, jnp.float32), (B, 3))
+
+    light = jnp.zeros((B, F, 3), jnp.float32)
+    if intensity_ambient != 0:
+        light = light + intensity_ambient * ca[:, None, :]
+    if intensity_directional != 0:
+        v10 = faces[:, :, 0] - faces[:, :, 1]
+        v12 = faces[:, :, 2] - faces[:, :, 1]
+        n = jnp.cross(v10, v12)
+        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True),
+                            1e-12)
+        cos = jax.nn.relu(jnp.sum(n * dirn[:, None, :], axis=2))
+        light = light + (intensity_directional * cd[:, None, :]
+                         * cos[:, :, None])
+    return textures * light[:, :, None, None, None, :]
+
+
+def load_textures(filename_obj: str, filename_texture: str,
+                  texture_size: int = 4) -> np.ndarray:
+    """Bake a texture image into per-face texture cubes
+    (load_obj.py:11-92, host numpy).  Returns [F, ts, ts, ts, 3]."""
+    from PIL import Image
+
+    vts, faces_vt = [], []
+    for line in open(filename_obj):
+        parts = line.split()
+        if not parts:
+            continue
+        if parts[0] == "vt":
+            vts.append([float(v) for v in parts[1:3]])
+        elif parts[0] == "f":
+            vs = parts[1:]
+            v0 = int(vs[0].split("/")[1])
+            for i in range(len(vs) - 2):
+                v1 = int(vs[i + 1].split("/")[1])
+                v2 = int(vs[i + 2].split("/")[1])
+                faces_vt.append((v0, v1, v2))
+    vts = np.asarray(vts, np.float32)
+    fuv = vts[np.asarray(faces_vt, np.int64) - 1] % 1.0     # [F, 3, 2]
+
+    image = np.asarray(Image.open(filename_texture).convert("RGB"),
+                       np.float32) / 255.0
+    image = image[::-1]
+    ih, iw = image.shape[:2]
+    ts = texture_size
+
+    g = np.arange(ts) / (ts - 1.0)
+    d0, d1, d2 = np.meshgrid(g, g, g, indexing="ij")
+    s = d0 + d1 + d2
+    scale = np.where(s > 1, 1.0 / np.maximum(s, 1e-12), 1.0)
+    d0, d1, d2 = d0 * scale, d1 * scale, d2 * scale         # [ts, ts, ts]
+
+    # pos = sum_k d_k * uv_k, bilinear sample (truncation semantics of the
+    # reference kernel: int() floor + +1 neighbor unclamped modulo wrap-free)
+    pos_x = (fuv[:, None, None, None, 0, 0] * d0
+             + fuv[:, None, None, None, 1, 0] * d1
+             + fuv[:, None, None, None, 2, 0] * d2) * (iw - 1)
+    pos_y = (fuv[:, None, None, None, 0, 1] * d0
+             + fuv[:, None, None, None, 1, 1] * d1
+             + fuv[:, None, None, None, 2, 1] * d2) * (ih - 1)
+    x0 = np.clip(pos_x.astype(np.int64), 0, iw - 1)
+    y0 = np.clip(pos_y.astype(np.int64), 0, ih - 1)
+    x1 = np.clip(x0 + 1, 0, iw - 1)
+    y1 = np.clip(y0 + 1, 0, ih - 1)
+    wx = pos_x - x0
+    wy = pos_y - y0
+    out = (image[y0, x0] * ((1 - wx) * (1 - wy))[..., None]
+           + image[y1, x0] * ((1 - wx) * wy)[..., None]
+           + image[y0, x1] * (wx * (1 - wy))[..., None]
+           + image[y1, x1] * (wx * wy)[..., None])
+    return out.astype(np.float32)

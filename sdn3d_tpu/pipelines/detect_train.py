@@ -1,0 +1,127 @@
+"""Mask R-CNN training pipeline with staged layer freezing.
+
+Re-expression of maskrcnn/model.py:1823-1911 (train_model: layer-regex
+freezing of 'heads' -> '4+' -> 'all', SGD momentum 0.9, clipnorm 5) and the
+4-stage VKITTI transfer schedule (maskrcnn/vkitti.py:211-243).  Freezing is
+an optax.multi_transform over param-path labels — no graph surgery.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from sdn3d_tpu.models.maskrcnn import (
+    MaskRCNN, MaskRCNNConfig, generate_pyramid_anchors)
+from sdn3d_tpu.models import maskrcnn_train as MT
+
+# Layer-selection regexes of the reference (model.py:1836-1848), expressed
+# as flax param-path predicates.
+def _layer_label(path: Tuple[str, ...], stage: str) -> str:
+    top = path[0] if path else ""
+    in_resnet = top == "fpn" and len(path) > 1 and path[1] == "resnet"
+    is_head = top in ("rpn", "classifier", "mask") or (
+        top == "fpn" and not in_resnet)
+    if stage == "heads":
+        return "train" if is_head else "freeze"
+    if stage == "4+":
+        if is_head:
+            return "train"
+        # resnet stages C4/C5 trainable (names C4_*, C5_*)
+        if in_resnet and len(path) > 2 and path[2][:2] in ("C4", "C5"):
+            return "train"
+        return "freeze"
+    return "train"                       # "all"
+
+
+@dataclasses.dataclass
+class MaskRCNNTrainer:
+    config: MaskRCNNConfig = MaskRCNNConfig()
+    learning_rate: float = 1e-3          # config.py LEARNING_RATE
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    clipnorm: float = 5.0
+    stage: str = "heads"                  # "heads" | "4+" | "all"
+
+    def __post_init__(self):
+        self.model = MaskRCNN(config=self.config)
+        self.anchors = jnp.asarray(generate_pyramid_anchors(self.config))
+
+        trainable = optax.chain(
+            optax.clip_by_global_norm(self.clipnorm),
+            optax.add_decayed_weights(self.weight_decay),
+            optax.sgd(self.learning_rate, momentum=self.momentum),
+        )
+        stage = self.stage
+
+        def label_fn(params):
+            flat = flax.traverse_util.flatten_dict(params)
+            labels = {k: _layer_label(k, stage) for k in flat}
+            return flax.traverse_util.unflatten_dict(labels)
+
+        self.tx = optax.multi_transform(
+            {"train": trainable, "freeze": optax.set_to_zero()}, label_fn)
+
+    def init(self, rng: jax.Array):
+        cfg = self.config
+        img = jnp.zeros((1,) + cfg.image_shape)
+        variables = self.model.init(
+            rng, img, self.anchors,
+            (0.0, 0.0, float(cfg.image_max_dim), float(cfg.image_max_dim)),
+            train=False)
+        params = variables["params"]
+        return {
+            "params": params,
+            "batch_stats": variables.get("batch_stats", {}),
+            "opt_state": self.tx.init(params),
+            "step": jnp.zeros((), jnp.int32),
+        }
+
+    def make_train_step(self):
+        def train_step(state, images, rpn_match, rpn_target_bbox,
+                       gt_class_ids, gt_boxes, gt_masks, rng, anchors
+                       ) -> Tuple[Any, Dict[str, jnp.ndarray]]:
+            def loss_fn(params):
+                out, new_state = self.model.apply(
+                    {"params": params, "batch_stats": state["batch_stats"]},
+                    images, anchors, gt_class_ids, gt_boxes, gt_masks, rng,
+                    method=MaskRCNN.train_forward,
+                    mutable=["batch_stats"])
+                tgt = out["targets"]
+                losses = {
+                    "rpn_class_loss": MT.rpn_class_loss(
+                        rpn_match, out["rpn_class_logits"]),
+                    "rpn_bbox_loss": MT.rpn_bbox_loss(
+                        rpn_target_bbox, rpn_match, out["rpn_bbox"]),
+                    "mrcnn_class_loss": MT.mrcnn_class_loss(
+                        tgt["class_ids"], tgt["roi_valid"],
+                        out["mrcnn_class_logits"]),
+                    "mrcnn_bbox_loss": MT.mrcnn_bbox_loss(
+                        tgt["deltas"], tgt["class_ids"], tgt["is_pos"],
+                        out["mrcnn_bbox"]),
+                    "mrcnn_mask_loss": MT.mrcnn_mask_loss(
+                        tgt["masks"], tgt["class_ids"], tgt["is_pos"],
+                        out["mrcnn_masks"]),
+                }
+                total = sum(losses.values())
+                return total, (losses, new_state)
+
+            grads, (losses, new_state) = jax.grad(
+                loss_fn, has_aux=True)(state["params"])
+            updates, opt_state = self.tx.update(grads, state["opt_state"],
+                                                state["params"])
+            params = optax.apply_updates(state["params"], updates)
+            return {
+                "params": params,
+                "batch_stats": new_state.get("batch_stats",
+                                             state["batch_stats"]),
+                "opt_state": opt_state,
+                "step": state["step"] + 1,
+            }, losses
+
+        return train_step

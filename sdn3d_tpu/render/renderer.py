@@ -49,6 +49,8 @@ def render(
     far: float = R.DEFAULT_FAR,
     eps: float = R.DEFAULT_EPS,
     grad_walk: int = 0,
+    textures: Optional[jnp.ndarray] = None,
+    light_kwargs: Optional[dict] = None,
 ) -> jnp.ndarray:
     """Render [B, V, 3] vertices + [B, F, 3] int faces to 2.5D maps.
 
@@ -63,6 +65,11 @@ def render(
 
     if fill_back:
         faces, face_valid = _fill_back(faces, face_valid)
+        if render_type == RenderType.RGB and textures is not None:
+            # back copies get transposed texture cubes (nr renderer.py:99)
+            textures = jnp.concatenate(
+                [textures, jnp.transpose(textures, (0, 1, 4, 3, 2, 5))],
+                axis=1)
 
     if render_type == RenderType.Normal:
         # Per-face normals from pre-camera vertices, NMR texture-cube
@@ -71,6 +78,7 @@ def render(
         colors = camera.face_normals(fv)                       # [B, F2, 3]
 
     # look: eye=0, direction=(0,0,-1), up=(0,1,0) -> x->-x, z->-z
+    vertices_pre = vertices
     eye = jnp.zeros((vertices.shape[0], 3), vertices.dtype)
     direction = jnp.broadcast_to(
         jnp.asarray([0.0, 0.0, -1.0], vertices.dtype), (vertices.shape[0], 3))
@@ -96,6 +104,16 @@ def render(
         # Final x negation (derender3d renderer.py:268-271).
         return rgb * jnp.asarray([-1.0, 1.0, 1.0],
                                  rgb.dtype)[None, :, None, None]
+    if render_type == RenderType.RGB:
+        # Lighting on pre-camera geometry (nr renderer.py:101-110).
+        from sdn3d_tpu.ops.textures import lighting
+        fv0 = camera.vertices_to_faces(vertices_pre, faces)
+        textures = lighting(fv0, textures, **(light_kwargs or {}))
+        out = R.rasterize_rgbad(face_verts, textures, image_size,
+                                anti_aliasing, near, far, eps,
+                                face_valid=face_valid, return_alpha=False,
+                                return_depth=False)
+        return out["rgb"]
     raise NotImplementedError(f"render_type {render_type}")
 
 

@@ -201,3 +201,37 @@ def depth_backward(faces, face_index, depth, weight, face_inv, grad_depth,
                     for l in range(2):
                         grad[b, fn, k, l] += -g * tmp[l] * w[k] * d2 * isz / 2
     return grad.astype(np.float32)
+
+
+def texture_sampling(faces, textures, face_index, weight, depth, eps=1e-4):
+    """NR-3 forward (rasterize.py:377-424): per-pixel depth-corrected
+    trilinear texture-cube sampling."""
+    B, F, ts = textures.shape[0], textures.shape[1], textures.shape[2]
+    isz = face_index.shape[1]
+    rgb = np.zeros((B, isz, isz, 3), np.float32)
+    for b in range(B):
+        for y in range(isz):
+            for x in range(isz):
+                fn = face_index[b, y, x]
+                if fn < 0:
+                    continue
+                face = faces[b, fn]
+                tex = textures[b, fn]
+                w = weight[b, y, x]
+                d = depth[b, y, x]
+                tif = [w[k] * (ts - 1 - eps) * (d / face[k, 2])
+                       for k in range(3)]
+                new_pixel = np.zeros(3)
+                for pn in range(8):
+                    ww = 1.0
+                    ti = []
+                    for k in range(3):
+                        if (pn >> k) % 2 == 0:
+                            ww *= 1 - (tif[k] - int(tif[k]))
+                            ti.append(int(tif[k]))
+                        else:
+                            ww *= tif[k] - int(tif[k])
+                            ti.append(int(tif[k]) + 1)
+                    new_pixel += ww * tex[ti[0], ti[1], ti[2]]
+                rgb[b, y, x] = new_pixel
+    return rgb

@@ -1,0 +1,68 @@
+"""Mask R-CNN full training step test (small config)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sdn3d_tpu.models.maskrcnn import MaskRCNNConfig
+from sdn3d_tpu.models.maskrcnn_train import build_rpn_targets
+from sdn3d_tpu.pipelines.detect_train import MaskRCNNTrainer, _layer_label
+
+
+CFG = MaskRCNNConfig(
+    image_min_dim=128, image_max_dim=128, num_classes=3,
+    stage_sizes=(1, 1, 1, 1), fpn_channels=32,
+    pre_nms_limit=100, post_nms_rois_training=40,
+    train_rois_per_image=12, mask_shape=(14, 14), mask_pool_size=7,
+    rpn_train_anchors_per_image=32)
+
+
+def test_layer_labels():
+    assert _layer_label(("rpn", "conv_shared", "kernel"), "heads") == "train"
+    assert _layer_label(("fpn", "resnet", "C2_0", "conv1", "kernel"),
+                        "heads") == "freeze"
+    assert _layer_label(("fpn", "P4_conv1", "kernel"), "heads") == "train"
+    assert _layer_label(("fpn", "resnet", "C4_0", "conv1", "kernel"),
+                        "4+") == "train"
+    assert _layer_label(("fpn", "resnet", "C2_0", "conv1", "kernel"),
+                        "4+") == "freeze"
+    assert _layer_label(("fpn", "resnet", "C2_0", "conv1", "kernel"),
+                        "all") == "train"
+
+
+def test_maskrcnn_train_step():
+    trainer = MaskRCNNTrainer(config=CFG, stage="heads")
+    state = trainer.init(jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(1, 128, 128, 3).astype(np.float32))
+    gt_boxes_px = np.asarray([[20, 20, 80, 90], [40, 60, 100, 120]],
+                             np.float32)
+    match, target_bbox = build_rpn_targets(
+        np.asarray(trainer.anchors), gt_boxes_px, CFG)
+    G = 4
+    gt_ids = jnp.asarray(np.pad(np.asarray([1, 2]), (0, G - 2)))
+    gt_boxes = jnp.asarray(np.pad(gt_boxes_px / 128.0, ((0, G - 2), (0, 0))))
+    gt_masks = jnp.asarray(np.ones((G, 28, 28), np.float32))
+
+    step = jax.jit(trainer.make_train_step())
+    new_state, losses = step(state, images, jnp.asarray(match),
+                             jnp.asarray(target_bbox), gt_ids, gt_boxes,
+                             gt_masks, jax.random.PRNGKey(1),
+                             trainer.anchors)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+
+    # frozen resnet params unchanged; head params changed
+    import flax
+    p0 = flax.traverse_util.flatten_dict(state["params"])
+    p1 = flax.traverse_util.flatten_dict(new_state["params"])
+    resnet_delta = sum(
+        float(jnp.abs(p1[k] - p0[k]).sum()) for k in p0
+        if k[:2] == ("fpn", "resnet"))
+    head_delta = sum(
+        float(jnp.abs(p1[k] - p0[k]).sum()) for k in p0 if k[0] == "rpn")
+    assert resnet_delta == 0.0
+    assert head_delta > 0.0
