@@ -33,11 +33,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 _f32 = jnp.float32
 
-# f32 min tile is (8, 128); 16x128 halves grid overhead.
-TILE_H = 16
+# Tile/chunk sizes from a TPU-v5e sweep on the ShapeNet-car workload
+# (16 objects, 512^2): the kernel is scalar-loop bound, so large pixel
+# tiles that amortize the per-face scalar work win — 64x128 is ~2x faster
+# than 16x128.  image_size must divide by TILE_H (256/512/768 all do).
+TILE_H = 64
 TILE_W = 128
-FACE_CHUNK = 256          # faces streamed per grid step
-GROUP = 16                # faces per cull group inside a chunk
+FACE_CHUNK = 128          # faces streamed per grid step
+GROUP = 32                # faces per cull group inside a chunk
+PER_FACE_CULL = True      # third culling level (per-face bbox scalar test)
 
 # Packed face-data rows (SoA, [B, N_ROWS, F_pad]):
 #  0..8   x0,y0,z0,x1,y1,z1,x2,y2,z2   (normalized coords)
@@ -188,12 +192,13 @@ def _raster_kernel(bbox_ref, face_ref, fi_ref, depth_ref, *, image_size,
 
         def face_body(j, carry):
             depth_min, idx_min = carry
-            okf = face_ref[0, 18, j]
-            hit = ((okf > 0)
-                   & (face_ref[0, 19, j] <= tile_x1)
-                   & (face_ref[0, 20, j] >= tile_x0)
-                   & (face_ref[0, 21, j] <= tile_y1)
-                   & (face_ref[0, 22, j] >= tile_y0))
+            hit = face_ref[0, 18, j] > 0
+            if PER_FACE_CULL:
+                hit = (hit
+                       & (face_ref[0, 19, j] <= tile_x1)
+                       & (face_ref[0, 20, j] >= tile_x0)
+                       & (face_ref[0, 21, j] <= tile_y1)
+                       & (face_ref[0, 22, j] >= tile_y0))
 
             def compute():
                 x0 = face_ref[0, 0, j]
