@@ -1,0 +1,146 @@
+"""Real-KITTI data layer: object labels, calibration, targets, hybrid mix.
+
+Re-expression of geometric/derender3d/datasets.py:423-606 (KittiObject —
+label_2 txt parsing, P2 calibration, pretrain targets with no width
+correction) and :175-190 (HybridDataset weighted concat for kitti-full
+fine-tuning).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+# KITTI label_2 column layout (datasets.py:442-459).
+MOTGT_NAMES = ["type", "truncated", "occluded", "alpha",
+               "left", "top", "right", "bottom",
+               "h", "w", "l", "x", "y", "z", "ry", "score"]
+
+TRAIN_FRAMES = range(0, 6733)
+VALIDATION_FRAMES = range(6733, 7481)
+TRAIN_TYPES = ("Car", "Van", "Truck")
+VAL_TYPES = ("Car",)
+
+
+class Camera:
+    """Nominal intrinsics (datasets.py:427-430); per-frame values come from
+    the calib files."""
+    focal = 725.0
+    u0 = 610.0
+    v0 = 185.0
+
+
+def parse_label_file(path: str) -> List[dict]:
+    """One label_2 {frame}.txt -> list of object dicts."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            row = {"type": parts[0]}
+            for name, v in zip(MOTGT_NAMES[1:], parts[1:]):
+                row[name] = float(v)
+            rows.append(row)
+    return rows
+
+
+def parse_calib_file(path: str) -> Dict[str, float]:
+    """P2 row of a calib txt -> {focal, u0, v0} (datasets.py:507-521:
+    columns 1, 3, 7 of the P2 line)."""
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if parts and parts[0] == "P2:":
+                return {"focal": float(parts[1]), "u0": float(parts[3]),
+                        "v0": float(parts[7])}
+    raise ValueError(f"no P2 line in {path}")
+
+
+def kitti_targets(row: Dict[str, float], camera: Dict[str, float]
+                  ) -> Dict[str, np.ndarray]:
+    """KittiObject pretrain targets (datasets.py:557-606).  Unlike VKITTI,
+    scale = (l, h, w) with NO width correction, and the roi comes from the
+    label box."""
+    focal, u0, v0 = camera["focal"], camera["u0"], camera["v0"]
+    roi_norm = np.asarray([
+        (row["top"] - v0) / focal,
+        (row["left"] - u0) / focal,
+        (row["bottom"] - v0) / focal,
+        (row["right"] - u0) / focal,
+    ], np.float32)
+    mroi = np.asarray([(roi_norm[2] + roi_norm[0]) / 2,
+                       (roi_norm[3] + roi_norm[1]) / 2], np.float32)
+    droi = np.asarray([roi_norm[2] - roi_norm[0],
+                       roi_norm[3] - roi_norm[1]], np.float32)
+
+    theta = np.asarray([-row["ry"]], np.float32)
+    scale = np.asarray([row["l"], row["h"], row["w"]], np.float32)
+    xyz = np.asarray([row["x"], -(row["y"] - row["h"] / 2), -row["z"]],
+                     np.float32)
+    translation2d = np.clip(np.asarray([
+        (xyz[1] / xyz[2] - mroi[0]) / droi[0],
+        (-xyz[0] / xyz[2] - mroi[1]) / droi[1],
+    ], np.float32), -6, 6)
+    depth_sq = float(np.sum(xyz ** 2))
+    log_depth = np.asarray(
+        [np.log(depth_sq) + np.log(droi[0]) + np.log(droi[1])], np.float32)
+
+    return {
+        "roi_norms": roi_norm,
+        "focals": np.asarray([focal], np.float32),
+        "thetas": theta,
+        "translation2ds": translation2d,
+        "log_scales": np.log(scale).astype(np.float32),
+        "log_depths": log_depth,
+        "rois": np.asarray([row["top"], row["left"], row["bottom"],
+                            row["right"]], np.float32),
+    }
+
+
+@dataclasses.dataclass
+class KittiObjectDataset:
+    """label_2 + calib loader (requires KITTI_OBJECT_ROOT_DIR)."""
+
+    root_dir: str
+    is_train: bool = True
+
+    def __post_init__(self):
+        frames = TRAIN_FRAMES if self.is_train else VALIDATION_FRAMES
+        types = TRAIN_TYPES if self.is_train else VAL_TYPES
+        self.items = []
+        for frame in frames:
+            path = os.path.join(self.root_dir, "training", "label_2",
+                                f"{frame:06d}.txt")
+            if not os.path.isfile(path):
+                continue
+            for row in parse_label_file(path):
+                if row["type"] in types:
+                    self.items.append((frame, row))
+
+    def __len__(self):
+        return len(self.items)
+
+    def camera(self, frame: int) -> Dict[str, float]:
+        return parse_calib_file(os.path.join(
+            self.root_dir, "training", "calib", f"{frame:06d}.txt"))
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        frame, row = self.items[index]
+        out = kitti_targets(row, self.camera(frame))
+        out["frame"] = frame
+        out["targets"] = 1                      # TargetType.pretrain
+        return out
+
+
+def hybrid_weights(lengths: Sequence[int],
+                   weights: Optional[Sequence[float]] = None) -> np.ndarray:
+    """Per-sample weights of the weighted-concat hybrid dataset
+    (datasets.py:175-190): weight_i / len_i for each sample of dataset i."""
+    if weights is None:
+        weights = [1.0] * len(lengths)
+    return np.concatenate([
+        w * np.ones(n) / n for n, w in zip(lengths, weights)])
