@@ -9,6 +9,7 @@ reference becomes a batched device computation.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -73,24 +74,54 @@ def prepare_objects(image_rgb: np.ndarray, rois: np.ndarray,
     }
 
 
+@functools.lru_cache(maxsize=None)
+def _encode_jit(model: Derenderer):
+    @jax.jit
+    def fn(variables, rgbs, roi_norms, focals):
+        mroi = jnp.stack([roi_norms[:, 2] + roi_norms[:, 0],
+                          roi_norms[:, 3] + roi_norms[:, 1]], axis=1) / 2.0
+        droi = jnp.stack([roi_norms[:, 2] - roi_norms[:, 0],
+                          roi_norms[:, 3] - roi_norms[:, 1]], axis=1)
+        blob = {
+            "_roi_norms": roi_norms,
+            "_mroi_norms": mroi,
+            "_droi_norms": droi,
+            "_focals": focals,
+        }
+        blob.update(model.apply(variables, rgbs, mroi, droi, train=False))
+        return blob
+
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _render_composite_jit(mode: int, image_size: int, render_size: int,
+                          height: int, width: int):
+    @jax.jit
+    def fn(blob, bank, interests):
+        out = render_blob(blob, bank, mode, image_size, render_size,
+                          training=False)
+        inst, nrm, dep = edit_mod.composite_objects(
+            out["_masks"],
+            out.get("_normals",
+                    jnp.zeros_like(jnp.repeat(out["_masks"], 3, 1))),
+            out.get("_depth_maps", jnp.ones_like(out["_masks"]) * 100.0),
+            out["_center2ds"], out["_zooms"], out["_depths"],
+            interests, height=height, width=width, render_size=render_size)
+        return out, inst, nrm, dep
+
+    return fn
+
+
 def encode_objects(variables, model: Derenderer, objs: Dict[str, np.ndarray],
                    cfg: DerenderInferConfig) -> Dict[str, jnp.ndarray]:
-    """Run the derenderer encoder over all object slots (main.py:385-402)."""
-    roi_norms = jnp.asarray(objs["roi_norms"])
-    mroi = jnp.stack([roi_norms[:, 2] + roi_norms[:, 0],
-                      roi_norms[:, 3] + roi_norms[:, 1]], axis=1) / 2.0
-    droi = jnp.stack([roi_norms[:, 2] - roi_norms[:, 0],
-                      roi_norms[:, 3] - roi_norms[:, 1]], axis=1)
-    blob = {
-        "_roi_norms": roi_norms,
-        "_mroi_norms": mroi,
-        "_droi_norms": droi,
-        "_focals": jnp.asarray(objs["focals"]),
-    }
-    enc = model.apply(variables, jnp.asarray(objs["rgbs"]), mroi, droi,
-                      train=False)
-    blob.update(enc)
-    return blob
+    """Run the derenderer encoder over all object slots (main.py:385-402).
+
+    jit-cached per model: repeated frames (the 92-pair benchmark loop)
+    re-use the compiled program."""
+    return _encode_jit(model)(variables, jnp.asarray(objs["rgbs"]),
+                              jnp.asarray(objs["roi_norms"]),
+                              jnp.asarray(objs["focals"]))
 
 
 def build_default_ignores(image_masks: np.ndarray, log_depths: np.ndarray,
@@ -204,16 +235,12 @@ def derender_image(
         interests = np.concatenate(
             [interests_n, interests[n:]]).astype(np.uint8)
 
-    out = render_blob(blob, bank, cfg.mode, cfg.image_size, cfg.render_size,
-                      training=False)
-
-    inst, nrm, dep = edit_mod.composite_objects(
-        out["_masks"], out.get("_normals", jnp.zeros_like(
-            jnp.repeat(out["_masks"], 3, 1))),
-        out.get("_depth_maps", jnp.ones_like(out["_masks"]) * 100.0),
-        out["_center2ds"], out["_zooms"], out["_depths"],
-        jnp.asarray(interests), height=H, width=W,
-        render_size=cfg.render_size)
+    # blob may carry non-tensor entries; keep only device arrays for jit.
+    blob_t = {k: v for k, v in blob.items()
+              if isinstance(v, (jnp.ndarray, np.ndarray))}
+    out, inst, nrm, dep = _render_composite_jit(
+        cfg.mode, cfg.image_size, cfg.render_size, H, W)(
+        blob_t, bank, jnp.asarray(interests))
 
     json_obj = {}
     depths_np = np.asarray(out["_depths"])

@@ -1,0 +1,36 @@
+"""Semantic train-time augmentation tests (semantic/vkitti_dataset.py:57-163)."""
+
+import random
+
+import numpy as np
+
+from sdn3d_tpu.data.semantic_data import (
+    prepare_train_sample, resize_shorter_edge, round2nearest_multiple)
+
+
+def test_resize_shorter_edge():
+    # VKITTI frames are 375x1242; short edge 150 -> scale 0.4
+    h, w = resize_shorter_edge(375, 1242, 150)
+    assert h == 150 and w == 496
+    # max-size cap engages for large targets
+    h, w = resize_shorter_edge(375, 1242, 375)
+    assert w <= 1000
+
+
+def test_round2nearest_multiple():
+    assert round2nearest_multiple(150, 8) == 152
+    assert round2nearest_multiple(152, 8) == 152
+
+
+def test_prepare_train_sample_shapes_and_labels():
+    rng = random.Random(0)
+    rgb = (np.random.RandomState(0).rand(375, 1242, 3) * 255).astype(np.uint8)
+    segm = np.random.RandomState(1).randint(0, 14, (375, 1242))
+    out = prepare_train_sample(rgb, segm, rng, scales=(100,))
+    img, lab = out["image"], out["label"]
+    assert img.shape[0] % 8 == 0 and img.shape[1] % 8 == 0
+    assert lab.shape == (img.shape[0] // 8, img.shape[1] // 8)
+    # labels shifted by -1: raw 0 becomes ignore (-1)
+    assert lab.min() >= -1 and lab.max() <= 12
+    # padded border area has ignore labels
+    assert lab[-1, -1] == -1 or lab.min() == -1
