@@ -363,6 +363,9 @@ def _silhouette_grad_pixelwise(
             hi_out = jnp.minimum(jnp.maximum(d1_out, d1_lim_out), isz - 1.0)
 
             def out_step(k, acc_pair):
+                # NOTE: an unrolled static-shift variant (pad + slice per
+                # step) was measured 7x slower to compile AND 3.6x slower to
+                # run than this fori+roll form on the TPU backend.
                 accA, accB = acc_pair
                 d1k = d1 + direction * k.astype(_f32)
                 in_seg = (d1k >= lo_out) & (d1k <= hi_out)
@@ -377,10 +380,8 @@ def _silhouette_grad_pixelwise(
                 gA_k, gB_k = dist_terms(d1k, diff, gate)
                 return accA + gA_k, accB + gB_k
 
-            accA, accB = jax.lax.fori_loop(
-                1, W + 1, out_step,
-                (jnp.zeros((B, isz, isz), _f32),
-                 jnp.zeros((B, isz, isz), _f32)))
+            zero = jnp.zeros((B, isz, isz), _f32)
+            accA, accB = jax.lax.fori_loop(1, W + 1, out_step, (zero, zero))
             acc = acc.at[..., i0, 1 - axis].add(accA)
             acc = acc.at[..., i1, 1 - axis].add(accB)
 

@@ -80,3 +80,27 @@ class HTMLGallery:
         with open(out, "w") as f:
             f.write(html)
         return out
+
+
+def display_instances(image: np.ndarray, boxes: np.ndarray,
+                      masks: np.ndarray, class_ids: np.ndarray,
+                      class_names: Sequence[str],
+                      scores: np.ndarray | None = None,
+                      alpha: float = 0.5) -> np.ndarray:
+    """Instance overlay (maskrcnn/visualize.py display_instances): colored
+    masks + box outlines + labels burned into the image.  Returns uint8."""
+    out = np.asarray(image).astype(np.float32).copy()
+    cmap = _uint8_colormap(max(len(boxes) + 1, 8)).astype(np.float32)
+    for i in range(len(boxes)):
+        color = cmap[i + 1]
+        m = masks[i, 0] if masks.ndim == 4 else masks[i]
+        sel = m > 0.5
+        out[sel] = out[sel] * (1 - alpha) + color * alpha
+        y1, x1, y2, x2 = [int(v) for v in boxes[i]]
+        y1, y2 = np.clip([y1, y2], 0, out.shape[0] - 1)
+        x1, x2 = np.clip([x1, x2], 0, out.shape[1] - 1)
+        out[y1, x1:x2] = color
+        out[y2, x1:x2] = color
+        out[y1:y2, x1] = color
+        out[y1:y2, x2] = color
+    return np.clip(out, 0, 255).astype(np.uint8)

@@ -146,3 +146,22 @@ def test_profiling_utils(tmp_path):
     assert "stage" in t.summary()
     with trace(None):
         pass
+
+
+def test_display_instances_and_metrics_log(tmp_path):
+    import numpy as np
+    from sdn3d_tpu.utils.visualizer import display_instances
+    from sdn3d_tpu.utils.metrics_log import MetricsLogger
+
+    img = np.zeros((32, 48, 3), np.uint8)
+    boxes = np.asarray([[4, 4, 20, 30]])
+    masks = np.zeros((1, 1, 32, 48), np.float32)
+    masks[0, 0, 6:18, 6:28] = 1
+    out = display_instances(img, boxes, masks, np.asarray([1]), ["bg", "car"])
+    assert out.shape == img.shape and out.sum() > 0
+
+    log = MetricsLogger(str(tmp_path), "t")
+    log.log(1, {"loss": 0.5})
+    log.log(2, {"loss": 0.25})
+    recs = log.read_all()
+    assert len(recs) == 2 and recs[1]["loss"] == 0.25
