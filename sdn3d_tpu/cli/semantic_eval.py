@@ -53,7 +53,10 @@ def main(argv=None):
             args.data_root, "vkitti_1.3.1_scenegt", f)).convert("RGB")),
             world, scene, table)
 
-        img = (rgb.astype(np.float32) / 255.0 - 0.5) / 0.25
+        from sdn3d_tpu.data.semantic_data import MEAN_BGR, STD_BGR
+        img = rgb.astype(np.float32)[:, :, ::-1]
+        img = (img - np.asarray(MEAN_BGR, np.float32)) / np.asarray(
+            STD_BGR, np.float32)
         probs = multiscale_inference(variables, model, img,
                                      scales=tuple(args.scales),
                                      num_class=args.num_class)

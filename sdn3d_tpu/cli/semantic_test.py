@@ -49,10 +49,12 @@ def load_model(args):
 def infer_image(model, variables, image_rgb: np.ndarray, args) -> np.ndarray:
     from sdn3d_tpu.pipelines.semantic import multiscale_inference
 
-    # normalization: mean 0.5 std 0.25 BGR-free variant documented in
-    # data layer; the reference uses ImageNet-ish stats (vkitti_dataset.py)
-    img = image_rgb.astype(np.float32) / 255.0
-    img = (img - 0.5) / 0.25
+    # Exact reference normalization (vkitti_dataset.py:43-44,152):
+    # BGR order, ImageNet means x255, stds in 0..1 scale.
+    from sdn3d_tpu.data.semantic_data import MEAN_BGR, STD_BGR
+    img = image_rgb.astype(np.float32)[:, :, ::-1]
+    img = (img - np.asarray(MEAN_BGR, np.float32)) / np.asarray(
+        STD_BGR, np.float32)
     probs = multiscale_inference(variables, model, img,
                                  scales=tuple(args.scales),
                                  num_class=args.num_class)

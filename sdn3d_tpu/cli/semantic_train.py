@@ -63,11 +63,14 @@ def vkitti_batches(args, rng):
             s = args.crop_size
             y = rng.randint(max(1, H - s))
             x = rng.randint(max(1, W - s))
-            crop = rgb[y:y + s, x:x + s].astype(np.float32) / 255.0
-            crop = (crop - 0.5) / 0.25
-            lab = seg[y:y + s:8, x:x + s:8]
-            imgs.append(crop)
-            labels.append(lab)
+            from sdn3d_tpu.data.semantic_data import prepare_train_sample
+            import random as _random
+            out = prepare_train_sample(
+                rgb[y:y + s, x:x + s], seg[y:y + s, x:x + s] + 1,
+                _random.Random(int(rng.randint(1 << 30))),
+                scales=(args.crop_size,))
+            imgs.append(out["image"][:s, :s])
+            labels.append(out["label"][:s // 8, :s // 8])
         yield np.stack(imgs), np.stack(labels)
 
 

@@ -17,10 +17,12 @@ TRAIN_SCALES = (100, 150, 200, 300, 375)   # vkitti_train.py imgSize
 IMG_MAX_SIZE = 1000
 PADDING_CONSTANT = 8
 SEGM_DOWNSAMPLING = 8
-# img_transform normalization (semantic/vkitti_dataset.py / dataset.py):
-# BGR order, mean/std in 0..255 scale.
-MEAN_BGR = (102.9801, 115.9465, 122.7717)
-STD_BGR = (1.0, 1.0, 1.0)
+# img_transform normalization (semantic/vkitti_dataset.py:43-44): the
+# image is flipped to BGR (:152) and then normalized with ImageNet means
+# scaled to 0..255 but stds left in 0..1 scale — a reference quirk kept
+# verbatim (the mean list stays in RGB order while the image is BGR).
+MEAN_BGR = (0.485 * 255, 0.456 * 255, 0.406 * 255)
+STD_BGR = (0.229, 0.224, 0.225)
 
 
 def round2nearest_multiple(x: int, p: int) -> int:
