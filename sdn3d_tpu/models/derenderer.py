@@ -198,6 +198,7 @@ def render_blob(
     training: bool = False,
     rng: Optional[jax.Array] = None,
     force_no_sample: bool = False,
+    obj_valid: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Batched re-rendering of all objects (replaces __init__.py:94-250).
 
@@ -215,6 +216,10 @@ def render_blob(
     Bmat = bank.ffd_B[cls]                       # [B, V, G, G, G]
     faces = bank.faces[cls]                      # [B, F, 3]
     face_valid = bank.face_valid[cls]            # [B, F]
+    if obj_valid is not None:
+        # Padded object slots contribute no faces: the Morton sort clusters
+        # them into grid-skipped chunks, so empty slots are nearly free.
+        face_valid = face_valid & obj_valid[:, None]
     ffd_coeff = jnp.take_along_axis(
         blob["_ffd_coeffs"], cls[:, None, None], axis=1)[:, 0]  # [B, 3G^3]
     vertices = jax.vmap(

@@ -98,9 +98,9 @@ def _encode_jit(model: Derenderer):
 def _render_composite_jit(mode: int, image_size: int, render_size: int,
                           height: int, width: int):
     @jax.jit
-    def fn(blob, bank, interests):
+    def fn(blob, bank, interests, obj_valid):
         out = render_blob(blob, bank, mode, image_size, render_size,
-                          training=False)
+                          training=False, obj_valid=obj_valid)
         inst, nrm, dep = edit_mod.composite_objects(
             out["_masks"],
             out.get("_normals",
@@ -240,7 +240,7 @@ def derender_image(
               if isinstance(v, (jnp.ndarray, np.ndarray))}
     out, inst, nrm, dep = _render_composite_jit(
         cfg.mode, cfg.image_size, cfg.render_size, H, W)(
-        blob_t, bank, jnp.asarray(interests))
+        blob_t, bank, jnp.asarray(interests), jnp.asarray(objs["valid"]))
 
     json_obj = {}
     depths_np = np.asarray(out["_depths"])

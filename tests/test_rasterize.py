@@ -174,6 +174,25 @@ def test_face_colors_render():
     assert np.allclose(rgb[0, :, 0, 0], 1.0)
 
 
+def test_pallas_kernel_matches_xla(rng):
+    """The tiled Pallas kernel (interpret mode on CPU) must produce the
+    same face-index/weight/depth maps as the portable XLA scan."""
+    faces = random_faces(rng, batch=2, num_faces=37, z_range=(1.5, 6.0))
+    isz = 128  # minimum tile-aligned size (TILE_H=64, TILE_W=128)
+    valid = np.ones((2, 37), bool)
+    valid[0, 5] = valid[1, 11] = False
+    fi_x, w_x, d_x, _ = R.rasterize_face_maps(
+        jnp.asarray(faces), jnp.asarray(valid), isz, impl="xla")
+    fi_p, w_p, d_p, _ = R.rasterize_face_maps(
+        jnp.asarray(faces), jnp.asarray(valid), isz, impl="pallas_interp")
+    np.testing.assert_array_equal(np.asarray(fi_p), np.asarray(fi_x))
+    hit = np.asarray(fi_x) >= 0
+    np.testing.assert_allclose(np.asarray(d_p)[hit], np.asarray(d_x)[hit],
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(w_p)[hit], np.asarray(w_x)[hit],
+                               atol=1e-5)
+
+
 def test_silhouette_backward_pixelwise_vs_facewise(rng):
     """The pixel-parallel backward must equal the face-chunk dense variant
     (both re-express rasterize.py:514-745)."""
