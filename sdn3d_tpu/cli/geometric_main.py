@@ -35,6 +35,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--input_masks", default=None,
                    help="npz with rois [N,4], masks [N,1,H,W], class_ids [N]"
                         " (gt source)")
+    p.add_argument("--vkitti_root",
+                   default=os.environ.get("VKITTI_ROOT_DIR"),
+                   help="dataset mode: iterate VKITTI frames (edit_json "
+                        "sources, or the whole --split)")
+    p.add_argument("--split", choices=["train", "test", "all"],
+                   default="test")
     p.add_argument("--output_dir", default="./geometric_out")
     return p
 
@@ -101,12 +107,73 @@ def save_outputs(out: dict, output_dir: str, name: str) -> None:
         pickle.dump(out["state"], f)
 
 
-def main(argv=None):
+def _keep_largest(cfg, class_ids, masks, rois):
+    """keep <=16 largest masks (scripts/main.py:812-818)."""
+    if len(class_ids) > cfg.max_objects:
+        areas = masks[:, 0].sum((1, 2))
+        keep = np.argsort(-areas)[:cfg.max_objects]
+        return class_ids[keep], masks[keep], rois[keep]
+    return class_ids, masks, rois
+
+
+def _iter_work(args):
+    """Yield (name, image_rgb, gt_or_None, operations) work items.
+
+    Three modes, mirroring scripts/main.py test():
+      * --input_image: one frame (optionally repeated per edit item);
+      * --vkitti_root + --edit_json: each edit item's own source frame;
+      * --vkitti_root alone: the whole --split.
+    """
     from PIL import Image
 
+    if args.input_image:
+        image = np.asarray(Image.open(args.input_image).convert("RGB"))
+        if args.edit_json:
+            from sdn3d_tpu.data.vkitti import load_edit_json
+            for i, item in enumerate(load_edit_json(args.edit_json)):
+                yield f"{i:05d}", image, None, item.operations
+        else:
+            name = os.path.splitext(os.path.basename(args.input_image))[0]
+            yield name, image, None, None
+        return
+
+    assert args.vkitti_root, \
+        "provide --input_image or --vkitti_root (dataset mode)"
+    from sdn3d_tpu.data import vkitti as VK
+
+    table_inst = (VK.get_tables("inst", args.vkitti_root)
+                  if args.source == "gt" else None)
+
+    def gt_for(world, topic, frame):
+        if table_inst is None:
+            return None
+        return VK.gt_objects(args.vkitti_root, world, topic, frame,
+                             table_inst)
+
+    if args.edit_json:
+        from sdn3d_tpu.data.vkitti import load_edit_json
+        for item in load_edit_json(args.edit_json):
+            frame = int(item.source)
+            image = np.asarray(Image.open(VK.rgb_path(
+                args.vkitti_root, item.world, item.topic,
+                frame)).convert("RGB"))
+            yield (item.target_name, image,
+                   gt_for(item.world, item.topic, frame), item.operations)
+    else:
+        from sdn3d_tpu.data.vkitti_derender import VKittiMotgt
+        motgt = VKittiMotgt(args.vkitti_root)
+        for world, topic, frame in motgt.frames(args.split):
+            image = np.asarray(Image.open(VK.rgb_path(
+                args.vkitti_root, world, topic, frame)).convert("RGB"))
+            yield (f"{world}_{topic}_{frame:05d}", image,
+                   gt_for(world, topic, frame), None)
+
+
+def main(argv=None):
     from sdn3d_tpu.models.derenderer import TargetType
     from sdn3d_tpu.pipelines.derender_infer import (
         DerenderInferConfig, derender_image)
+    from sdn3d_tpu.utils.locks import crash_guard, try_claim
 
     args = build_argparser().parse_args(argv)
     model, variables, bank = load_derenderer(args)
@@ -114,38 +181,19 @@ def main(argv=None):
         image_size=args.image_size, render_size=args.render_size,
         num_opts=args.num_opts, mode=TargetType.BY_NAME[args.mode])
 
-    if args.edit_json:
-        from sdn3d_tpu.data.vkitti import load_edit_json
-        items = load_edit_json(args.edit_json)
-    else:
-        items = [None]
-
-    assert args.input_image, "provide --input_image (dataset mode TBD)"
-    image = np.asarray(Image.open(args.input_image).convert("RGB"))
-    class_ids, masks, rois = detect_objects(args, image)
-    # keep <=16 largest masks (scripts/main.py:812-818)
-    if len(class_ids) > cfg.max_objects:
-        areas = masks[:, 0].sum((1, 2))
-        keep = np.argsort(-areas)[:cfg.max_objects]
-        class_ids, masks, rois = class_ids[keep], masks[keep], rois[keep]
-
-    if items == [None]:
-        out = derender_image(variables, model, bank, image, class_ids,
-                             masks, rois, cfg)
-        save_outputs(out, args.output_dir,
-                     os.path.splitext(os.path.basename(args.input_image))[0])
-        return
-
-    from sdn3d_tpu.utils.locks import crash_guard, try_claim
-    for i, item in enumerate(items):
-        name = f"{i:05d}"
+    cached = {}
+    for name, image, gt, ops in _iter_work(args):
         # lock-file skip/claim for concurrent or resumed runs
         # (scripts/main.py:707-716)
         if not try_claim(args.output_dir, name):
             print(f"skip {name} (locked)")
             continue
         with crash_guard(name):
-            ops = item.operations if item else None
+            key = id(image)
+            if key not in cached:
+                dets = gt if gt is not None else detect_objects(args, image)
+                cached = {key: _keep_largest(cfg, *dets)}  # keep last frame
+            class_ids, masks, rois = cached[key]
             out = derender_image(variables, model, bank, image, class_ids,
                                  masks, rois, cfg, operations=ops)
             save_outputs(out, args.output_dir, name)

@@ -99,6 +99,53 @@ def decode_scenegt(img_rgb: np.ndarray, world: str, scene: str,
     return vals.reshape(flat.shape).astype(np.int32)
 
 
+def rgb_path(root: str, world: str, topic: str, frame: int) -> str:
+    """VKITTI 1.3.1 RGB frame path."""
+    return os.path.join(root, "vkitti_1.3.1_rgb", world, topic,
+                        f"{frame:05d}.png")
+
+
+def scenegt_path(root: str, world: str, topic: str, frame: int) -> str:
+    return os.path.join(root, "vkitti_1.3.1_scenegt", world, topic,
+                        f"{frame:05d}.png")
+
+
+def gt_objects(root: str, world: str, topic: str, frame: int,
+               table_inst: Dict, min_area: int = 50,
+               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """GT instance proposals from the scenegt map — the geometric CLI's
+    `--source gt` path (vehicle instances only, area > 50 px, matching the
+    Mask R-CNN driver's filter, maskrcnn/vkitti.py:83-102).
+
+    Returns (class_ids [N], masks [N, 1, H, W] float32, rois [N, 4]
+    y1,x1,y2,x2 pixel coords)."""
+    from PIL import Image
+
+    scene = np.asarray(Image.open(scenegt_path(root, world, topic, frame)))
+    inst = decode_scenegt(scene, world, topic, table_inst)
+    car, van = CATEGORIES.index("Car"), CATEGORIES.index("Van")
+
+    class_ids, masks, rois = [], [], []
+    for iid in np.unique(inst):
+        cat = iid // 5000
+        if cat not in (car, van) or iid < 5000:
+            continue
+        m = inst == iid
+        if m.sum() <= min_area:
+            continue
+        ys, xs = np.nonzero(m)
+        class_ids.append(1 if cat == car else 2)
+        masks.append(m[None].astype(np.float32))
+        rois.append([ys.min(), xs.min(), ys.max() + 1, xs.max() + 1])
+    if not class_ids:
+        H, W = inst.shape
+        return (np.zeros((0,), np.int32),
+                np.zeros((0, 1, H, W), np.float32),
+                np.zeros((0, 4), np.float32))
+    return (np.asarray(class_ids, np.int32), np.stack(masks),
+            np.asarray(rois, np.float32))
+
+
 # ---------------------------------------------------------------------------
 # ROI crop transforms (derender3d/datasets.py:18-137 Transforms)
 # ---------------------------------------------------------------------------

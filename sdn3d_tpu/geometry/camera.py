@@ -105,3 +105,21 @@ def face_normals(face_vertices: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     v12 = face_vertices[:, :, 2] - face_vertices[:, :, 1]
     n = jnp.cross(v10, v12)
     return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), eps)
+
+
+def get_points_from_angles(distance, elevation, azimuth,
+                           degrees: bool = True) -> jnp.ndarray:
+    """Spherical camera position (neural_renderer/get_points_from_angles.py):
+    (d*cos(el)*sin(az), d*sin(el), -d*cos(el)*cos(az)).  Scalars or arrays;
+    returns [..., 3]."""
+    distance = jnp.asarray(distance, jnp.float32)
+    elevation = jnp.asarray(elevation, jnp.float32)
+    azimuth = jnp.asarray(azimuth, jnp.float32)
+    if degrees:
+        elevation = jnp.radians(elevation)
+        azimuth = jnp.radians(azimuth)
+    return jnp.stack([
+        distance * jnp.cos(elevation) * jnp.sin(azimuth),
+        distance * jnp.sin(elevation),
+        -distance * jnp.cos(elevation) * jnp.cos(azimuth),
+    ], axis=-1)

@@ -60,11 +60,16 @@ class ResnetBlockG(nn.Module):
 
 class GlobalGenerator(nn.Module):
     """c7s1-ngf, n_downsampling stride-2 convs, n_blocks resblocks,
-    mirrored deconvs, c7s1-3 + tanh (networks.py:211-242)."""
+    mirrored deconvs, c7s1-3 + tanh (networks.py:211-242).
+
+    skip_final=True returns the pre-output feature map (the reference's
+    LocalEnhancer drops the global generator's final 3 modules,
+    networks.py:164-166)."""
     output_nc: int = 3
     ngf: int = 64
     n_downsampling: int = 4
     n_blocks: int = 9
+    skip_final: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -87,9 +92,62 @@ class GlobalGenerator(nn.Module):
                                  padding=((1, 2), (1, 2)),
                                  transpose_kernel=True, name=f"up{i}")(y)
             y = nn.relu(instance_norm(y))
+        if self.skip_final:
+            return y
         y = reflect_pad(y, 3)
         y = nn.Conv(self.output_nc, (7, 7), padding="VALID", name="conv_out")(y)
         return jnp.tanh(y)
+
+
+class LocalEnhancer(nn.Module):
+    """Coarse-to-fine generator (networks.py:156-208): a GlobalGenerator
+    trunk on the n-times-downsampled input plus per-level enhancer branches
+    whose downsampled features are summed with the coarser level's output.
+    Unused by the 3D-SDN default config (n_local_enhancers=0,
+    options/base_options.py:61) but part of the pix2pixHD surface."""
+    output_nc: int = 3
+    ngf: int = 32
+    n_downsample_global: int = 3
+    n_blocks_global: int = 9
+    n_local_enhancers: int = 1
+    n_blocks_local: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        pyramid = [x]
+        for _ in range(self.n_local_enhancers):
+            pyramid.append(avg_pool_3s2_nopad_count(pyramid[-1]))
+
+        out = GlobalGenerator(
+            self.output_nc, self.ngf * 2 ** self.n_local_enhancers,
+            self.n_downsample_global, self.n_blocks_global,
+            skip_final=True, name="global")(pyramid[-1])
+
+        for n in range(1, self.n_local_enhancers + 1):
+            ngf_g = self.ngf * 2 ** (self.n_local_enhancers - n)
+            xi = pyramid[self.n_local_enhancers - n]
+            y = reflect_pad(xi, 3)
+            y = nn.Conv(ngf_g, (7, 7), padding="VALID",
+                        name=f"enh{n}_conv_in")(y)
+            y = nn.relu(instance_norm(y))
+            y = nn.Conv(ngf_g * 2, (3, 3), strides=(2, 2),
+                        padding=[(1, 1), (1, 1)], name=f"enh{n}_down")(y)
+            y = nn.relu(instance_norm(y))
+            y = y + out
+            for i in range(self.n_blocks_local):
+                y = ResnetBlockG(ngf_g * 2, name=f"enh{n}_res{i}")(y)
+            y = nn.ConvTranspose(ngf_g, (3, 3), strides=(2, 2),
+                                 padding=((1, 2), (1, 2)),
+                                 transpose_kernel=True,
+                                 name=f"enh{n}_up")(y)
+            y = nn.relu(instance_norm(y))
+            if n == self.n_local_enhancers:
+                y = reflect_pad(y, 3)
+                y = nn.Conv(self.output_nc, (7, 7), padding="VALID",
+                            name="conv_out")(y)
+                y = jnp.tanh(y)
+            out = y
+        return out
 
 
 class NLayerDiscriminator(nn.Module):

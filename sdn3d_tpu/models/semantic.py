@@ -108,12 +108,89 @@ class PPMDeepsup(nn.Module):
         return (jax.nn.log_softmax(x, axis=-1), jax.nn.log_softmax(d, axis=-1))
 
 
+class C1BilinearDeepSup(nn.Module):
+    """conv3x3-bn-relu + 1x1 classifier decoder with deep supervision
+    (semantic/models.py:251-283); C1Bilinear == seg_size-only use."""
+
+    num_class: int = 14
+    fc_dim: int = 2048
+    deep_sup: bool = True
+
+    @nn.compact
+    def __call__(self, conv_out, seg_size: Optional[Tuple[int, int]] = None,
+                 train: bool = False):
+        conv5 = conv_out[-1]
+        x = ConvBNReLU(self.fc_dim // 4, 3, use_running_average=not train,
+                       name="cbr")(conv5)
+        x = nn.Conv(self.num_class, (1, 1), name="conv_last")(x)
+
+        if seg_size is not None:  # inference
+            x = resize_bilinear(x, seg_size)
+            return jax.nn.softmax(x, axis=-1)
+        if not self.deep_sup:
+            return jax.nn.log_softmax(x, axis=-1)
+
+        conv4 = conv_out[-2]
+        d = ConvBNReLU(self.fc_dim // 4, 3, use_running_average=not train,
+                       name="cbr_deepsup")(conv4)
+        d = nn.Conv(self.num_class, (1, 1), name="conv_last_deepsup")(d)
+        return (jax.nn.log_softmax(x, axis=-1), jax.nn.log_softmax(d, axis=-1))
+
+
+class PPMBilinear(nn.Module):
+    """Pyramid pooling decoder WITHOUT deep supervision
+    (semantic/models.py:311-355)."""
+
+    num_class: int = 14
+    pool_scales: Sequence[int] = (1, 2, 3, 6)
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, conv_out, seg_size: Optional[Tuple[int, int]] = None,
+                 train: bool = False):
+        conv5 = conv_out[-1]
+        hw = (conv5.shape[1], conv5.shape[2])
+        ppm_out = [conv5]
+        for k, scale in enumerate(self.pool_scales):
+            y = adaptive_avg_pool2d(conv5, (scale, scale))
+            y = nn.Conv(512, (1, 1), use_bias=False, name=f"ppm{k}_conv")(y)
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, name=f"ppm{k}_bn")(y)
+            y = nn.relu(y)
+            ppm_out.append(resize_bilinear(y, hw))
+        x = jnp.concatenate(ppm_out, axis=-1)
+        x = nn.Conv(512, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+                    name="conv_last0")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="conv_last_bn")(x)
+        x = nn.relu(x)
+        x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        x = nn.Conv(self.num_class, (1, 1), name="conv_last1")(x)
+        if seg_size is not None:
+            x = resize_bilinear(x, seg_size)
+            return jax.nn.softmax(x, axis=-1)
+        return jax.nn.log_softmax(x, axis=-1)
+
+
+DECODERS = {
+    "ppm_bilinear_deepsup": PPMDeepsup,
+    "ppm_bilinear": PPMBilinear,
+    "c1_bilinear_deepsup": C1BilinearDeepSup,
+    "c1_bilinear": lambda **kw: C1BilinearDeepSup(deep_sup=False, **kw),
+}
+
+
 class SemanticModel(nn.Module):
     """Encoder + decoder; forward semantics of SegmentationModule
-    (semantic/models.py:24-48).  Images are NHWC."""
+    (semantic/models.py:24-48).  Images are NHWC.
+
+    arch_decoder selects among the reference's decoders
+    (ModelBuilder.build_decoder, models.py:117-147); the 3D-SDN default is
+    ppm_bilinear_deepsup (vkitti_train.py:190-193)."""
 
     num_class: int = 14
     deep_sup_scale: float = 0.4
+    arch_decoder: str = "ppm_bilinear_deepsup"
 
     @nn.compact
     def __call__(self, images, seg_size: Optional[Tuple[int, int]] = None,
@@ -122,8 +199,9 @@ class SemanticModel(nn.Module):
                        output_stride=8, deep_stem=True, name="encoder")(
             images, train=train)
         conv_out = feats[1:]  # C2..C5
-        return PPMDeepsup(num_class=self.num_class, name="decoder")(
-            conv_out, seg_size=seg_size, train=train)
+        decoder = DECODERS[self.arch_decoder](num_class=self.num_class,
+                                              name="decoder")
+        return decoder(conv_out, seg_size=seg_size, train=train)
 
 
 def segmentation_loss(log_probs: jnp.ndarray, labels: jnp.ndarray,

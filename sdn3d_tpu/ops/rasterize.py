@@ -107,6 +107,7 @@ def rasterize_face_maps(
     near: float = DEFAULT_NEAR,
     far: float = DEFAULT_FAR,
     return_face_inv: bool = True,
+    return_weights: bool = True,
     impl: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Forward rasterization to per-pixel maps (non-differentiable primitive).
@@ -118,25 +119,32 @@ def rasterize_face_maps(
              weight     [B,H,W,3],
              depth      [B,H,W]  (background = far),
              face_inv   [B,H,W,3,3]).
+    weight / face_inv are None when return_weights / return_face_inv are
+    False — the silhouette/normal paths only need the hit map, and the
+    attribute recomputation is ~30% of the forward cost at 512^2.
     """
+    need_attrs = return_weights or return_face_inv
     if impl == "auto":
         on_tpu = jax.default_backend() in ("tpu", "axon")
         impl = "pallas" if (on_tpu and image_size % 128 == 0) else "xla"
     if impl in ("pallas", "pallas_interp"):
         from sdn3d_tpu.ops import rasterize_pallas as RP
-        packed, chunk_bbox, perm = RP.pack_faces(faces, face_valid,
-                                                 image_size)
+        version = RP.KERNEL_VERSION
+        packed, aux, chunk_bbox, perm = RP.pack_faces(
+            faces, face_valid, image_size, version=version)
         fi, depth = RP.rasterize_face_index_pallas(
-            packed, chunk_bbox, image_size, near, far,
-            interpret=(impl == "pallas_interp"))
+            packed, aux, chunk_bbox, image_size, near, far,
+            interpret=(impl == "pallas_interp"), version=version)
         if perm is not None:
             # face indices refer to Morton-sorted order; map back.
             hit = fi >= 0
             fi_flat = jax.vmap(lambda pb, fb: pb[fb])(
                 perm, jnp.where(hit, fi, 0).reshape(fi.shape[0], -1))
             fi = jnp.where(hit, fi_flat.reshape(fi.shape), -1)
-        w, inv = RP.recompute_pixel_attributes(faces, fi, image_size)
-        return fi, w, depth, inv
+        w = inv = None
+        if need_attrs:
+            w, inv = RP.recompute_pixel_attributes(faces, fi, image_size)
+        return fi, w, depth, inv if return_face_inv else None
 
     B, F = faces.shape[:2]
     P = image_size * image_size
@@ -163,8 +171,9 @@ def rasterize_face_maps(
     init = (
         jnp.full((B, P), far, _f32),                # depth_min
         jnp.full((B, P), -1, jnp.int32),            # face_index_min
-        jnp.zeros((B, P, 3), _f32),                 # weight_min
-        jnp.zeros((B, P, 3, 3), _f32),              # face_inv_min
+        jnp.zeros((B, P, 3), _f32) if need_attrs else jnp.zeros((), _f32),
+        (jnp.zeros((B, P, 3, 3), _f32) if need_attrs
+         else jnp.zeros((), _f32)),
     )
 
     def step(carry, inputs):
@@ -212,15 +221,15 @@ def rasterize_face_maps(
         take = ok_best & (z_best < depth_min)
         gidx = (chunk_idx * C + best).astype(jnp.int32)
 
-        w_best = jnp.stack([w0[bidx, best, pidx],
-                            w1[bidx, best, pidx],
-                            w2[bidx, best, pidx]], axis=-1)      # [B, P, 3]
-        inv_best = inv_chunk[bidx, best]                          # [B, P, 3, 3]
-
         depth_min = jnp.where(take, z_best, depth_min)
         idx_min = jnp.where(take, gidx, idx_min)
-        w_min = jnp.where(take[..., None], w_best, w_min)
-        inv_min = jnp.where(take[..., None, None], inv_best, inv_min)
+        if need_attrs:
+            w_best = jnp.stack([w0[bidx, best, pidx],
+                                w1[bidx, best, pidx],
+                                w2[bidx, best, pidx]], axis=-1)  # [B, P, 3]
+            inv_best = inv_chunk[bidx, best]                     # [B, P, 3, 3]
+            w_min = jnp.where(take[..., None], w_best, w_min)
+            inv_min = jnp.where(take[..., None, None], inv_best, inv_min)
         return (depth_min, idx_min, w_min, inv_min), None
 
     chunk_ids = jnp.arange(n_chunks)
@@ -229,9 +238,9 @@ def rasterize_face_maps(
 
     hw = (B, image_size, image_size)
     return (fidx.reshape(hw),
-            weight.reshape(hw + (3,)),
+            weight.reshape(hw + (3,)) if return_weights else None,
             depth.reshape(hw),
-            finv.reshape(hw + (3, 3)))
+            finv.reshape(hw + (3, 3)) if return_face_inv else None)
 
 
 # ---------------------------------------------------------------------------
@@ -634,12 +643,14 @@ def _make_silhouette_fn(image_size: int, near: float, far: float, eps: float,
     @jax.custom_vjp
     def sil(faces, face_valid):
         fi, _, _, _ = rasterize_face_maps(
-            faces, face_valid, image_size, near, far, return_face_inv=False)
+            faces, face_valid, image_size, near, far, return_face_inv=False,
+            return_weights=False)
         return (fi >= 0).astype(_f32)
 
     def fwd(faces, face_valid):
         fi, _, _, _ = rasterize_face_maps(
-            faces, face_valid, image_size, near, far, return_face_inv=False)
+            faces, face_valid, image_size, near, far, return_face_inv=False,
+            return_weights=False)
         alpha = (fi >= 0).astype(_f32)
         return alpha, (faces, face_valid, fi, alpha)
 
@@ -805,7 +816,7 @@ def rasterize_face_colors(
     size = image_size * 2 if anti_aliasing else image_size
     fi, _, _, _ = rasterize_face_maps(
         jax.lax.stop_gradient(faces), face_valid, size, near, far,
-        return_face_inv=False)
+        return_face_inv=False, return_weights=False)
     hit = fi >= 0
     fi_c = jnp.where(hit, fi, 0)
     B = faces.shape[0]

@@ -37,22 +37,48 @@ _f32 = jnp.float32
 # (16 objects, 512^2): the kernel is scalar-loop bound, so large pixel
 # tiles that amortize the per-face scalar work win — 64x128 is ~2x faster
 # than 16x128.  image_size must divide by TILE_H (256/512/768 all do).
-TILE_H = 64
+# Env overrides (SDN3D_RASTER_*) exist for hardware sweeps only.
+import os as _os
+
+TILE_H = int(_os.getenv("SDN3D_RASTER_TILE_H", "64"))
 TILE_W = 128
-FACE_CHUNK = 128          # faces streamed per grid step
-GROUP = 32                # faces per cull group inside a chunk
+# faces streamed per grid step; larger chunks amortize per-grid-step
+# overhead (DMA descriptors + sequencing) at coarser chunk-level culling.
+# v5e sweep on the 16-car 512^2 workload: 128 -> 1024 is ~14% faster.
+FACE_CHUNK = int(_os.getenv("SDN3D_RASTER_FACE_CHUNK", "1024"))
+GROUP = int(_os.getenv("SDN3D_RASTER_GROUP", "32"))
 PER_FACE_CULL = True      # third culling level (per-face bbox scalar test)
 
-# Packed face-data rows (SoA, [B, N_ROWS, F_pad]):
-#  0..8   x0,y0,z0,x1,y1,z1,x2,y2,z2   (normalized coords)
-#  9..17  face_inv (row-major, pixel coords)
-#  18     ok flag (frontface & valid & nondegenerate)
-#  19..22 bbox in pixel coords: xmin, xmax, ymin, ymax
-#  23     padding
-#  24..27 GROUP-level bbox (min/max over each aligned group of 16 faces,
-#         value repeated across the group) — the second culling level
-#  28..31 padding to a multiple of 8 rows
-N_ROWS = 32
+# Kernel version: 1 = scalar face loop over whole pixel tiles (default);
+# 2 = 8 faces vectorized along sublanes x 128 pixels along lanes, looping
+# only over each face group's pixel-row span.  v2 looked right on paper
+# (v1 spends a whole 64x128-tile vector pass + ~150 scalar cycles per
+# face that covers only a few pixels) but measured ~2.3x SLOWER on v5e:
+# the data-dependent row loop (scalar-unit bound checks per trip) and the
+# [1, W] dynamic-sublane read-modify-writes of the z-buffer dominate.
+# Kept as a validated (identical hit maps) experiment for future Mosaic
+# versions.
+KERNEL_VERSION = int(_os.getenv("SDN3D_RASTER_KERNEL", "1"))
+VGROUP = 8                # faces per sublane-vectorized group (v2)
+
+# Packed face-data rows (SoA f32, [B, N_ROWS, F_pad]):
+#  0..8   x0,y0,rz0,x1,y1,rz1,x2,y2,rz2  (normalized coords; rz = 1/z)
+#  9..15  padding to a multiple of 8 rows
+# Barycentric weights are recovered in-kernel from the three edge
+# functions already computed for the inside test (they are the same
+# unnormalized barycentrics the reference's face_inv produces), so the 9
+# face_inv rows the previous layout streamed per face are gone.
+N_ROWS = 16
+
+# Culling data (int32 SoA, [B, AUX_ROWS, F_pad]): bboxes quantized to TILE
+# units and packed 4x8bit into ONE scalar — the cull test against a tile is
+# exactly equivalent to the pixel-coord test, at 1 SMEM read instead of 4.
+#  byte0 txmin, byte1 txmax+1 (exclusive), byte2 tymin, byte3 tymax+1.
+#  Validity (frontface & nondegenerate & face_valid) is folded in as an
+#  empty bbox (txmin=127, txmax+1=0); fields clamp to 127 to keep the
+#  packed scalar non-negative.
+#  row 0: per-face bbox;  row 1: GROUP-level bbox (repeated per group).
+AUX_ROWS = 8
 _BIG = 1e9
 
 
@@ -69,22 +95,29 @@ def _morton16(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
 
 
 def pack_faces(faces: jnp.ndarray, face_valid: Optional[jnp.ndarray],
-               image_size: int, sort: bool = True
-               ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
-    """faces [B, F, 3, 3] -> (packed [B, N_ROWS, F_pad],
-    chunk_bbox [B, 4, n_chunks], perm [B, F_pad] or None).
+               image_size: int, sort: bool = True,
+               version: Optional[int] = None
+               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                          Optional[jnp.ndarray]]:
+    """faces [B, F, 3, 3] -> (packed, aux [B, AUX_ROWS, F_pad] int32,
+    chunk_bbox [B, 4, n_chunks] int32, perm [B, F_pad] or None).
+
+    packed is [B, N_ROWS, F_pad] f32 for kernel v1 (SMEM scalar streaming)
+    and [B, F_pad, 16] f32 for kernel v2 (VMEM, faces along sublanes).
 
     With sort=True faces are Z-order (Morton) sorted by bbox center so the
-    16-face cull groups cover tight 2D patches, and culled/invalid faces
-    sink to the tail where whole chunks get skipped.  `perm` maps sorted
-    index -> original face index (for un-permuting the face-index map)."""
+    cull groups cover tight 2D patches, and culled/invalid faces sink to
+    the tail where whole chunks get skipped.  `perm` maps sorted index ->
+    original face index (for un-permuting the face-index map)."""
     from sdn3d_tpu.ops.rasterize import _face_inv, _frontface
 
+    if version is None:
+        version = KERNEL_VERSION
     B, F = faces.shape[:2]
     if face_valid is None:
         face_valid = jnp.ones((B, F), bool)
 
-    inv, nondeg = _face_inv(faces, image_size)            # [B, F, 3, 3]
+    _, nondeg = _face_inv(faces, image_size)
     ok = (_frontface(faces) & nondeg & face_valid).astype(_f32)
 
     perm = None
@@ -96,7 +129,6 @@ def pack_faces(faces: jnp.ndarray, face_valid: Optional[jnp.ndarray],
         key = jnp.where(ok > 0, _morton16(qx, qy), jnp.int32(0x7FFFFFFF))
         perm = jnp.argsort(key, axis=1).astype(jnp.int32)  # [B, F]
         faces = jax.vmap(lambda fb, pb: fb[pb])(faces, perm)
-        inv = jax.vmap(lambda ib, pb: ib[pb])(inv, perm)
         ok = jnp.take_along_axis(ok, perm, axis=1)
 
     # Pixel-coord bbox of each face.
@@ -108,57 +140,115 @@ def pack_faces(faces: jnp.ndarray, face_valid: Optional[jnp.ndarray],
     ymin = jnp.where(ok > 0, jnp.min(py, -1), big)
     ymax = jnp.where(ok > 0, jnp.max(py, -1), -big)
 
-    # Pad the face axis first so group/chunk reductions see the fillers.
+    # Quantize to TILE units: the kernel tests bboxes against whole tiles,
+    # so tile granularity loses nothing; min indices floor, max indices
+    # become exclusive tile ends.
+    # Fields are clamped to 127 so the packed int32 never sets the sign
+    # bit (the kernel unpacks the top field with a plain arithmetic shift).
+    txmin = jnp.clip(jnp.floor(xmin / TILE_W), 0, 127).astype(jnp.int32)
+    txmax = jnp.clip(jnp.floor(xmax / TILE_W) + 1, 0, 127).astype(jnp.int32)
+    tymin = jnp.clip(jnp.floor(ymin / TILE_H), 0, 127).astype(jnp.int32)
+    tymax = jnp.clip(jnp.floor(ymax / TILE_H) + 1, 0, 127).astype(jnp.int32)
+
+    # Pad the face axis first so group/chunk reductions see the fillers
+    # (empty bboxes).
     pad = (-F) % FACE_CHUNK
 
     def padded(row, fill):
         return jnp.pad(row, ((0, 0), (0, pad)), constant_values=fill)
 
-    xmin = padded(xmin, _BIG)
-    xmax = padded(xmax, -_BIG)
-    ymin = padded(ymin, _BIG)
-    ymax = padded(ymax, -_BIG)
+    txmin = padded(txmin, 127)
+    txmax = padded(txmax, 0)
+    tymin = padded(tymin, 127)
+    tymax = padded(tymax, 0)
 
     def windowed(row, op_min, window):
-        init = _BIG if op_min else -_BIG
+        init = jnp.int32(127 if op_min else 0)
         fn = jax.lax.min if op_min else jax.lax.max
-        return jax.lax.reduce_window(row, jnp.float32(init), fn,
+        return jax.lax.reduce_window(row, init, fn,
                                      (1, window), (1, window), "VALID")
 
-    # Two-level cull hierarchy, both built from small windows (a single
-    # FACE_CHUNK-wide reduce_window overflows scoped VMEM on this backend).
-    g_xmin = windowed(xmin, True, GROUP)
-    g_xmax = windowed(xmax, False, GROUP)
-    g_ymin = windowed(ymin, True, GROUP)
-    g_ymax = windowed(ymax, False, GROUP)
+    def pack_bbox(a, b, c, d):
+        return a | (b << 8) | (c << 16) | (d << 24)
 
     # Slices, not reshapes: [B,F,3,3]->[B,F,9] reshapes compile ~100x
-    # slower on this backend.
-    rows = [padded(faces[:, :, k // 3, k % 3], 0.0) for k in range(9)]
-    rows += [padded(inv[:, :, k // 3, k % 3], 0.0) for k in range(9)]
-    rows += [padded(ok, 0.0), xmin, xmax, ymin, ymax,
-             jnp.zeros((B, F + pad), _f32)]
-    rows += [jnp.repeat(g_xmin, GROUP, axis=1),
-             jnp.repeat(g_xmax, GROUP, axis=1),
-             jnp.repeat(g_ymin, GROUP, axis=1),
-             jnp.repeat(g_ymax, GROUP, axis=1)]
-    rows += [jnp.zeros((B, F + pad), _f32)] * (N_ROWS - 28)
-    packed = jnp.stack(rows, axis=1)                       # [B, N_ROWS, F_pad]
+    # slower on this backend.  z is stored as its reciprocal so the kernel
+    # interpolates 1/z with FMAs and a single divide.
+    rows = []
+    for v in range(3):
+        rows.append(padded(faces[:, :, v, 0], 0.0))
+        rows.append(padded(faces[:, :, v, 1], 0.0))
+        z = faces[:, :, v, 2]
+        rz = 1.0 / jnp.where(z != 0, z, 1.0)
+        if version >= 2:
+            # v2 has no per-face validity test in the kernel: invalid
+            # faces (backfaces/padding) get rz=0, making their
+            # interpolated 1/z exactly 0 — outside the (1/far, 1/near)
+            # acceptance window.
+            rz = jnp.where(ok > 0, rz, 0.0)
+        rows.append(padded(rz, 0.0))
 
-    gpc = FACE_CHUNK // GROUP
-    chunk_bbox = jnp.stack([
-        windowed(g_xmin, True, gpc),
-        windowed(g_xmax, False, gpc),
-        windowed(g_ymin, True, gpc),
-        windowed(g_ymax, False, gpc),
-    ], axis=1)                                             # [B, 4, n_chunks]
+    zero_i = jnp.zeros((B, F + pad), jnp.int32)
+
+    if version >= 2:
+        g = VGROUP
+        g_txmin = windowed(txmin, True, g)
+        g_txmax = windowed(txmax, False, g)
+        g_tymin = windowed(tymin, True, g)
+        g_tymax = windowed(tymax, False, g)
+        # Pixel-precision y bounds for the row loop (16 bits each; ymax is
+        # an exclusive end; invalid faces collapse to an empty range).
+        # Clamp to 32767 so `packed >> 16` never sees the sign bit.
+        pymin = jnp.clip(jnp.floor(ymin), 0, 32767).astype(jnp.int32)
+        pymax = jnp.clip(jnp.floor(ymax) + 1, 0, 32767).astype(jnp.int32)
+        pymin = padded(pymin, 32767)
+        pymax = padded(pymax, 0)
+        g_pymin = jax.lax.reduce_window(pymin, jnp.int32(32767), jax.lax.min,
+                                        (1, g), (1, g), "VALID")
+        g_pymax = jax.lax.reduce_window(pymax, jnp.int32(0), jax.lax.max,
+                                        (1, g), (1, g), "VALID")
+        rows += [jnp.zeros((B, F + pad), _f32)] * (16 - 9)
+        packed = jnp.stack(rows, axis=2)               # [B, F_pad, 16]
+        aux = jnp.stack(
+            [pack_bbox(txmin, txmax, tymin, tymax),
+             pack_bbox(jnp.repeat(g_txmin, g, axis=1),
+                       jnp.repeat(g_txmax, g, axis=1),
+                       jnp.repeat(g_tymin, g, axis=1),
+                       jnp.repeat(g_tymax, g, axis=1)),
+             (jnp.repeat(g_pymin, g, axis=1)
+              | (jnp.repeat(g_pymax, g, axis=1) << 16))]
+            + [zero_i] * (AUX_ROWS - 3), axis=1)       # [B, AUX_ROWS, F_pad]
+        gpc = FACE_CHUNK // g
+    else:
+        g_txmin = windowed(txmin, True, GROUP)
+        g_txmax = windowed(txmax, False, GROUP)
+        g_tymin = windowed(tymin, True, GROUP)
+        g_tymax = windowed(tymax, False, GROUP)
+        rows += [jnp.zeros((B, F + pad), _f32)] * (N_ROWS - 9)
+        packed = jnp.stack(rows, axis=1)               # [B, N_ROWS, F_pad]
+        aux = jnp.stack(
+            [pack_bbox(txmin, txmax, tymin, tymax),
+             pack_bbox(jnp.repeat(g_txmin, GROUP, axis=1),
+                       jnp.repeat(g_txmax, GROUP, axis=1),
+                       jnp.repeat(g_tymin, GROUP, axis=1),
+                       jnp.repeat(g_tymax, GROUP, axis=1))]
+            + [zero_i] * (AUX_ROWS - 2), axis=1)       # [B, AUX_ROWS, F_pad]
+        gpc = FACE_CHUNK // GROUP
+
+    chunk_bbox = jnp.stack(
+        [pack_bbox(windowed(g_txmin, True, gpc),
+                   windowed(g_txmax, False, gpc),
+                   windowed(g_tymin, True, gpc),
+                   windowed(g_tymax, False, gpc))]
+        + [jnp.zeros((B, (F + pad) // FACE_CHUNK), jnp.int32)] * 3,
+        axis=1)                                            # [B, 4, n_chunks]
     if perm is not None:
         perm = jnp.pad(perm, ((0, 0), (0, pad)))
-    return packed, chunk_bbox, perm
+    return packed, aux, chunk_bbox, perm
 
 
-def _raster_kernel(bbox_ref, face_ref, fi_ref, depth_ref, *, image_size,
-                   near, far):
+def _raster_kernel(bbox_ref, aux_ref, face_ref, fi_ref, depth_ref, *,
+                   image_size, near, far):
     ty = pl.program_id(1)
     tx = pl.program_id(2)
     fc = pl.program_id(3)
@@ -168,20 +258,17 @@ def _raster_kernel(bbox_ref, face_ref, fi_ref, depth_ref, *, image_size,
         fi_ref[0] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
         depth_ref[0] = jnp.full((TILE_H, TILE_W), far, _f32)
 
-    tile_y0 = (ty * TILE_H).astype(_f32)
-    tile_x0 = (tx * TILE_W).astype(_f32)
-    tile_y1 = tile_y0 + (TILE_H - 1)
-    tile_x1 = tile_x0 + (TILE_W - 1)
+    def bbox_hit(v):
+        # One packed tile-unit bbox scalar (byte layout in pack_faces);
+        # max bytes are exclusive tile ends, validity folds in as an
+        # empty bbox.
+        return (((v & 0xFF) <= tx) & (((v >> 8) & 0xFF) > tx)
+                & (((v >> 16) & 0xFF) <= ty) & ((v >> 24) > ty))
 
-    # Chunk-level cull: bbox of the whole face chunk vs this tile (scalars
-    # from the SMEM chunk-bbox table).
-    overlap = ((bbox_ref[0, 0, fc] <= tile_x1)
-               & (bbox_ref[0, 1, fc] >= tile_x0)
-               & (bbox_ref[0, 2, fc] <= tile_y1)
-               & (bbox_ref[0, 3, fc] >= tile_y0))
-
-    @pl.when(overlap)
+    @pl.when(bbox_hit(bbox_ref[0, 0, fc]))
     def _body():
+        tile_y0 = (ty * TILE_H).astype(_f32)
+        tile_x0 = (tx * TILE_W).astype(_f32)
         yi = jax.lax.broadcasted_iota(
             jnp.int32, (TILE_H, TILE_W), 0).astype(_f32) + tile_y0
         xi = jax.lax.broadcasted_iota(
@@ -192,40 +279,29 @@ def _raster_kernel(bbox_ref, face_ref, fi_ref, depth_ref, *, image_size,
 
         def face_body(j, carry):
             depth_min, idx_min = carry
-            hit = face_ref[0, 18, j] > 0
-            if PER_FACE_CULL:
-                hit = (hit
-                       & (face_ref[0, 19, j] <= tile_x1)
-                       & (face_ref[0, 20, j] >= tile_x0)
-                       & (face_ref[0, 21, j] <= tile_y1)
-                       & (face_ref[0, 22, j] >= tile_y0))
+            hit = bbox_hit(aux_ref[0, 0, j]) if PER_FACE_CULL else True
 
             def compute():
                 x0 = face_ref[0, 0, j]
                 y0 = face_ref[0, 1, j]
-                z0 = face_ref[0, 2, j]
+                rz0 = face_ref[0, 2, j]
                 x1 = face_ref[0, 3, j]
                 y1 = face_ref[0, 4, j]
-                z1 = face_ref[0, 5, j]
+                rz1 = face_ref[0, 5, j]
                 x2 = face_ref[0, 6, j]
                 y2 = face_ref[0, 7, j]
-                z2 = face_ref[0, 8, j]
-                inside = (
-                    ((yp - y0) * (x1 - x0) >= (xp - x0) * (y1 - y0))
-                    & ((yp - y1) * (x2 - x1) >= (xp - x1) * (y2 - y1))
-                    & ((yp - y2) * (x0 - x2) >= (xp - x2) * (y0 - y2))
-                )
-                w0 = (face_ref[0, 9, j] * xi + face_ref[0, 10, j] * yi
-                      + face_ref[0, 11, j])
-                w1 = (face_ref[0, 12, j] * xi + face_ref[0, 13, j] * yi
-                      + face_ref[0, 14, j])
-                w2 = (face_ref[0, 15, j] * xi + face_ref[0, 16, j] * yi
-                      + face_ref[0, 17, j])
-                w0 = jnp.clip(w0, 0.0, 1.0)
-                w1 = jnp.clip(w1, 0.0, 1.0)
-                w2 = jnp.clip(w2, 0.0, 1.0)
-                ws = jnp.maximum(w0 + w1 + w2, 1e-12)
-                zp = ws / (w0 / z0 + w1 / z1 + w2 / z2)
+                rz2 = face_ref[0, 8, j]
+                # Edge functions double as unnormalized barycentrics
+                # (e12 -> vertex 0, e20 -> vertex 1, e01 -> vertex 2) —
+                # the same weights the reference's face_inv yields, so no
+                # inv rows are streamed.
+                e01 = (yp - y0) * (x1 - x0) - (xp - x0) * (y1 - y0)
+                e12 = (yp - y1) * (x2 - x1) - (xp - x1) * (y2 - y1)
+                e20 = (yp - y2) * (x0 - x2) - (xp - x2) * (y0 - y2)
+                inside = (e01 >= 0) & (e12 >= 0) & (e20 >= 0)
+                s = e01 + e12 + e20
+                zden = e12 * rz0 + e20 * rz1 + e01 * rz2
+                zp = s / jnp.where(zden != 0, zden, 1.0)
                 take = inside & (near < zp) & (zp < far) & (zp < depth_min)
                 gidx = fc * FACE_CHUNK + j
                 return (jnp.where(take, zp, depth_min),
@@ -234,18 +310,15 @@ def _raster_kernel(bbox_ref, face_ref, fi_ref, depth_ref, *, image_size,
             return jax.lax.cond(hit, compute, lambda: carry)
 
         def group_body(g, carry):
-            # Second culling level: skip whole 16-face groups whose bbox
-            # misses the tile (rows 24..27, value constant per group).
+            # Second culling level: skip whole GROUP-face spans whose bbox
+            # misses the tile (aux row 1, value constant per group).
             j0 = g * GROUP
-            ghit = ((face_ref[0, 24, j0] <= tile_x1)
-                    & (face_ref[0, 25, j0] >= tile_x0)
-                    & (face_ref[0, 26, j0] <= tile_y1)
-                    & (face_ref[0, 27, j0] >= tile_y0))
 
             def scan_group():
                 return jax.lax.fori_loop(j0, j0 + GROUP, face_body, carry)
 
-            return jax.lax.cond(ghit, scan_group, lambda: carry)
+            return jax.lax.cond(bbox_hit(aux_ref[0, 1, j0]),
+                                scan_group, lambda: carry)
 
         depth1, idx1 = jax.lax.fori_loop(
             0, FACE_CHUNK // GROUP, group_body, (depth_ref[0], fi_ref[0]))
@@ -253,29 +326,147 @@ def _raster_kernel(bbox_ref, face_ref, fi_ref, depth_ref, *, image_size,
         fi_ref[0] = idx1
 
 
+def _raster_kernel_v2(bbox_ref, aux_ref, facevm_ref, fi_ref, depth_ref, *,
+                      image_size, near, far):
+    """8 faces along sublanes x TILE_W pixels along lanes; loops only over
+    each face group's pixel-row span.  The depth buffer holds 1/z during
+    the kernel (strict `>` test == the reference's strict `<` on z); the
+    wrapper inverts it once at the end."""
+    ty = pl.program_id(1)
+    tx = pl.program_id(2)
+    fc = pl.program_id(3)
+
+    @pl.when(fc == 0)
+    def _init():
+        fi_ref[0] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
+        depth_ref[0] = jnp.full((TILE_H, TILE_W), 1.0 / far, _f32)
+
+    def bbox_hit(v):
+        return (((v & 0xFF) <= tx) & (((v >> 8) & 0xFF) > tx)
+                & (((v >> 16) & 0xFF) <= ty) & ((v >> 24) > ty))
+
+    @pl.when(bbox_hit(bbox_ref[0, 0, fc]))
+    def _body():
+        tile_y0 = ty * TILE_H
+        tile_x0 = (tx * TILE_W).astype(_f32)
+        isz = jnp.float32(image_size)
+        xi = jax.lax.broadcasted_iota(
+            jnp.int32, (1, TILE_W), 1).astype(_f32) + tile_x0
+        xp = (2.0 * xi + 1.0 - isz) / isz              # [1, W]
+        rfar = jnp.float32(1.0 / far)
+        rnear = jnp.float32(1.0 / near)
+
+        def group_body(gi, carry):
+            j0 = gi * VGROUP
+
+            @pl.when(bbox_hit(aux_ref[0, 1, j0]))
+            def _group():
+                attrs = facevm_ref[0, pl.ds(j0, VGROUP), :]   # [8, 16]
+                x0 = attrs[:, 0:1]
+                y0 = attrs[:, 1:2]
+                rz0 = attrs[:, 2:3]
+                x1 = attrs[:, 3:4]
+                y1 = attrs[:, 4:5]
+                rz1 = attrs[:, 5:6]
+                x2 = attrs[:, 6:7]
+                y2 = attrs[:, 7:8]
+                rz2 = attrs[:, 8:9]
+                dx01 = x1 - x0
+                dy01 = y1 - y0
+                dx12 = x2 - x1
+                dy12 = y2 - y1
+                dx20 = x0 - x2
+                dy20 = y0 - y2
+                idx = (jax.lax.broadcasted_iota(jnp.int32, (VGROUP, 1), 0)
+                       + (fc * FACE_CHUNK + j0))
+                ib = jnp.broadcast_to(idx, (VGROUP, TILE_W))
+
+                yb = aux_ref[0, 2, j0]
+                r0 = jnp.maximum((yb & 0xFFFF) - tile_y0, 0)
+                r1 = jnp.minimum((yb >> 16) - tile_y0, TILE_H)
+
+                def row_body(r, c):
+                    yif = (tile_y0 + r).astype(_f32)
+                    yp = (2.0 * yif + 1.0 - isz) / isz        # scalar
+                    e01 = (yp - y0) * dx01 - (xp - x0) * dy01  # [8, W]
+                    e12 = (yp - y1) * dx12 - (xp - x1) * dy12
+                    e20 = (yp - y2) * dx20 - (xp - x2) * dy20
+                    inside = (e01 >= 0) & (e12 >= 0) & (e20 >= 0)
+                    s = e01 + e12 + e20
+                    zden = e12 * rz0 + e20 * rz1 + e01 * rz2
+                    rz = zden / jnp.where(s != 0.0, s, 1.0)
+                    take = inside & (rz > rfar) & (rz < rnear)
+                    rzm = jnp.where(take, rz, 0.0)
+
+                    def sel(z1, i1, z2, i2):
+                        # prefer the FIRST (lower face index) on ties —
+                        # the reference's sequential strict-< semantics
+                        t = z1 >= z2
+                        return jnp.where(t, z1, z2), jnp.where(t, i1, i2)
+
+                    z, i = sel(rzm[0:4], ib[0:4], rzm[4:8], ib[4:8])
+                    z, i = sel(z[0:2], i[0:2], z[2:4], i[2:4])
+                    z, i = sel(z[0:1], i[0:1], z[1:2], i[1:2])  # [1, W]
+
+                    dcur = depth_ref[0, pl.ds(r, 1), :]
+                    icur = fi_ref[0, pl.ds(r, 1), :]
+                    tk = z > dcur
+                    depth_ref[0, pl.ds(r, 1), :] = jnp.where(tk, z, dcur)
+                    fi_ref[0, pl.ds(r, 1), :] = jnp.where(tk, i, icur)
+                    return c
+
+                jax.lax.fori_loop(r0, r1, row_body, 0)
+
+            return carry
+
+        jax.lax.fori_loop(0, FACE_CHUNK // VGROUP, group_body, 0)
+
+
 @functools.partial(jax.jit, static_argnames=("image_size", "near", "far",
-                                             "interpret"))
+                                             "interpret", "version"))
 def rasterize_face_index_pallas(
     packed: jnp.ndarray,
+    aux: jnp.ndarray,
     chunk_bbox: jnp.ndarray,
     image_size: int,
     near: float = 0.1,
     far: float = 100.0,
     interpret: bool = False,
+    version: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(packed [B,24,F_pad], chunk_bbox [B,4,n_chunks]) ->
+    """(packed (see pack_faces), aux [B,AUX_ROWS,F_pad] int32,
+    chunk_bbox [B,4,n_chunks] int32) ->
     (face_index [B,H,W] int32, depth [B,H,W]).
 
     image_size must be a multiple of TILE_W (128): true for every production
-    size (256/512/768); pad otherwise before calling."""
-    B, _, Fp = packed.shape
+    size (256/512/768); pad otherwise before calling.
+
+    version MUST be passed explicitly (it is a static jit arg; a None
+    default resolved inside the trace would poison the jit cache when
+    KERNEL_VERSION changes)."""
+    if version is None:
+        version = KERNEL_VERSION
+    if version >= 2:
+        B, Fp, _ = packed.shape
+    else:
+        B, _, Fp = packed.shape
     assert Fp % FACE_CHUNK == 0
     assert image_size % TILE_W == 0 and image_size % TILE_H == 0
     n_chunks = Fp // FACE_CHUNK
     grid = (B, image_size // TILE_H, image_size // TILE_W, n_chunks)
 
-    kernel = functools.partial(_raster_kernel, image_size=image_size,
-                               near=near, far=far)
+    if version >= 2:
+        kernel = functools.partial(_raster_kernel_v2, image_size=image_size,
+                                   near=near, far=far)
+        packed_spec = pl.BlockSpec((1, FACE_CHUNK, 16),
+                                   lambda b, ty, tx, fc: (b, fc, 0),
+                                   memory_space=pltpu.VMEM)
+    else:
+        kernel = functools.partial(_raster_kernel, image_size=image_size,
+                                   near=near, far=far)
+        packed_spec = pl.BlockSpec((1, N_ROWS, FACE_CHUNK),
+                                   lambda b, ty, tx, fc: (b, 0, fc),
+                                   memory_space=pltpu.SMEM)
 
     fi, depth = pl.pallas_call(
         kernel,
@@ -284,9 +475,10 @@ def rasterize_face_index_pallas(
             pl.BlockSpec((1, 4, n_chunks),
                          lambda b, ty, tx, fc: (b, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, N_ROWS, FACE_CHUNK),
+            pl.BlockSpec((1, AUX_ROWS, FACE_CHUNK),
                          lambda b, ty, tx, fc: (b, 0, fc),
                          memory_space=pltpu.SMEM),
+            packed_spec,
         ],
         out_specs=(
             pl.BlockSpec((1, TILE_H, TILE_W),
@@ -301,7 +493,11 @@ def rasterize_face_index_pallas(
             jax.ShapeDtypeStruct((B, image_size, image_size), _f32),
         ),
         interpret=interpret,
-    )(chunk_bbox, packed)
+    )(chunk_bbox, aux, packed)
+    if version >= 2:
+        # the v2 kernel's buffer holds 1/z
+        depth = jnp.where(fi >= 0, 1.0 / jnp.maximum(depth, 1e-30),
+                          jnp.float32(far))
     return fi, depth
 
 

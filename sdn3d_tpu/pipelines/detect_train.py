@@ -27,6 +27,15 @@ def _layer_label(path: Tuple[str, ...], stage: str) -> str:
     in_resnet = top == "fpn" and len(path) > 1 and path[1] == "resnet"
     is_head = top in ("rpn", "classifier", "mask") or (
         top == "fpn" and not in_resnet)
+    if stage == "transfer":
+        # stage-0 class-count transfer (vkitti.py:215-219): only the
+        # class-dependent output layers train —
+        # (mask.conv5.*)|(classifier.linear_class.*)|(classifier.linear_bbox.*)
+        if (top == "mask" and len(path) > 1 and path[1] == "conv5") or (
+                top == "classifier" and len(path) > 1
+                and path[1] in ("linear_class", "linear_bbox")):
+            return "train"
+        return "freeze"
     if stage == "heads":
         return "train" if is_head else "freeze"
     if stage == "4+":
@@ -37,6 +46,53 @@ def _layer_label(path: Tuple[str, ...], stage: str) -> str:
             return "train"
         return "freeze"
     return "train"                       # "all"
+
+
+# The 4-stage VKITTI COCO-transfer schedule (vkitti.py:211-243): epochs are
+# CUMULATIVE (the reference's train_model trains until `epochs`).
+VKITTI_TRANSFER_SCHEDULE = (
+    ("transfer", 1e-5, 10),
+    ("heads", 1e-3, 40),
+    ("4+", 1e-3 / 2, 70),
+    ("all", 1e-3 / 5, 100),
+)
+
+
+def transfer_schedule(include_transfer: bool = True,
+                      base_lr: float = 1e-3):
+    """(stage, lr, until_epoch) tuples of the reference schedule, scaled to
+    `base_lr` (config.LEARNING_RATE)."""
+    sched = []
+    for stage, lr, until in VKITTI_TRANSFER_SCHEDULE:
+        if stage == "transfer":
+            if not include_transfer:
+                continue
+            sched.append((stage, lr, until))
+        else:
+            sched.append((stage, base_lr * lr / 1e-3, until))
+    return sched
+
+
+def run_schedule(make_trainer, state, epochs_run: int = 0,
+                 include_transfer: bool = True, base_lr: float = 1e-3,
+                 epoch_fn=None):
+    """Drive the staged schedule: re-build the trainer (and its freezing
+    optimizer) per stage, carry params/batch_stats across stages, reset
+    opt_state (the reference re-instantiates the optimizer per
+    train_model call, model.py:1867-1874).
+
+    make_trainer(stage, lr) -> MaskRCNNTrainer;
+    epoch_fn(trainer, state, epoch) -> state runs one epoch."""
+    for stage, lr, until in transfer_schedule(include_transfer, base_lr):
+        if epochs_run >= until:
+            continue
+        trainer = make_trainer(stage=stage, learning_rate=lr)
+        state = dict(state)
+        state["opt_state"] = trainer.tx.init(state["params"])
+        while epochs_run < until:
+            state = epoch_fn(trainer, state, epochs_run)
+            epochs_run += 1
+    return state
 
 
 @dataclasses.dataclass

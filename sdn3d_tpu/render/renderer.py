@@ -159,7 +159,7 @@ def render_targets(
     size = image_size * 2 if anti_aliasing else image_size
     fi, _, depth, _ = R.rasterize_face_maps(
         jax.lax.stop_gradient(face_verts), face_valid, size, near, far,
-        return_face_inv=False)
+        return_face_inv=False, return_weights=False)
 
     def finish(img, spatial_axis):
         img = jnp.flip(img, axis=spatial_axis)

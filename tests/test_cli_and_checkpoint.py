@@ -165,3 +165,76 @@ def test_display_instances_and_metrics_log(tmp_path):
     log.log(2, {"loss": 0.25})
     recs = log.read_all()
     assert len(recs) == 2 and recs[1]["loss"] == 0.25
+
+
+def _make_vkitti_tree(root, world="0001", topic="clone", frame=1):
+    """Minimal VKITTI 1.3.1 tree: encoding txts for every (world, topic),
+    one scenegt frame with 2 cars + background, and its RGB frame."""
+    import os
+    import numpy as np
+    from PIL import Image
+    from sdn3d_tpu.data import vkitti as VK
+
+    gt_dir = os.path.join(root, "vkitti_1.3.1_scenegt")
+    os.makedirs(os.path.join(gt_dir, world, topic), exist_ok=True)
+    for w in VK.WORLD_IDS:
+        for t in VK.SCENE_IDS:
+            with open(os.path.join(
+                    gt_dir, f"{w}_{t}_scenegt_rgb_encoding.txt"), "w") as f:
+                f.write("name r g b\n")
+                f.write("Road 100 100 100\n")
+                if (w, t) == (world, topic):
+                    f.write("Car:1 200 10 10\n")
+                    f.write("Car:2 10 200 10\n")
+                    f.write("Van:3 10 10 200\n")
+
+    H, W = 64, 96
+    scene = np.zeros((H, W, 3), np.uint8)
+    scene[...] = 100                        # road everywhere
+    scene[10:30, 10:40] = [200, 10, 10]     # car 1 (big)
+    scene[40:44, 60:64] = [10, 200, 10]     # car 2 (area 16 <= 50: filtered)
+    scene[35:60, 50:90] = [10, 10, 200]     # van 3
+    Image.fromarray(scene).save(
+        os.path.join(gt_dir, world, topic, f"{frame:05d}.png"))
+
+    rgb_dir = os.path.join(root, "vkitti_1.3.1_rgb", world, topic)
+    os.makedirs(rgb_dir, exist_ok=True)
+    rgb = np.random.RandomState(0).randint(0, 255, (H, W, 3), np.uint8)
+    Image.fromarray(rgb).save(os.path.join(rgb_dir, f"{frame:05d}.png"))
+    return (H, W)
+
+
+def test_vkitti_gt_objects_and_dataset_mode(tmp_path):
+    """GT instance proposals from scenegt (car/van, area filter) and the
+    geometric CLI's dataset-mode work iterator (edit_json sources)."""
+    import json
+    import numpy as np
+    from sdn3d_tpu.data import vkitti as VK
+    from sdn3d_tpu.cli.geometric_main import _iter_work, build_argparser
+
+    root = str(tmp_path)
+    H, W = _make_vkitti_tree(root)
+
+    table = VK.get_tables("inst", root)
+    class_ids, masks, rois = VK.gt_objects(root, "0001", "clone", 1, table)
+    assert len(class_ids) == 2                       # small car filtered out
+    assert masks.shape == (2, 1, H, W)
+    assert set(class_ids.tolist()) == {1, 2}         # car=1, van=2
+    car_roi = rois[list(class_ids).index(1)]
+    np.testing.assert_array_equal(car_roi, [10, 10, 30, 40])
+
+    edit = [{"world": "0001", "topic": "clone", "source": "00001",
+             "target": "00002",
+             "operations": [{"type": "delete", "target": [20, 25]}]}]
+    ep = tmp_path / "edit.json"
+    ep.write_text(json.dumps(edit))
+
+    args = build_argparser().parse_args(
+        ["--vkitti_root", root, "--edit_json", str(ep), "--source", "gt"])
+    work = list(_iter_work(args))
+    assert len(work) == 1
+    name, image, gt, ops = work[0]
+    assert name == "0001_clone_00001_00002"
+    assert image.shape == (H, W, 3)
+    assert gt is not None and len(gt[0]) == 2
+    assert ops[0]["type"] == "delete"

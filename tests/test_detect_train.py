@@ -8,7 +8,8 @@ import jax.numpy as jnp
 
 from sdn3d_tpu.models.maskrcnn import MaskRCNNConfig
 from sdn3d_tpu.models.maskrcnn_train import build_rpn_targets
-from sdn3d_tpu.pipelines.detect_train import MaskRCNNTrainer, _layer_label
+from sdn3d_tpu.pipelines.detect_train import (
+    MaskRCNNTrainer, _layer_label, run_schedule, transfer_schedule)
 
 
 CFG = MaskRCNNConfig(
@@ -30,6 +31,59 @@ def test_layer_labels():
                         "4+") == "freeze"
     assert _layer_label(("fpn", "resnet", "C2_0", "conv1", "kernel"),
                         "all") == "train"
+
+
+def test_transfer_stage_labels():
+    """Stage-0 class-count transfer trains ONLY the class-dependent output
+    layers (vkitti.py:215-219 regex)."""
+    assert _layer_label(("mask", "conv5", "kernel"), "transfer") == "train"
+    assert _layer_label(("classifier", "linear_class", "kernel"),
+                        "transfer") == "train"
+    assert _layer_label(("classifier", "linear_bbox", "bias"),
+                        "transfer") == "train"
+    assert _layer_label(("classifier", "conv1", "kernel"),
+                        "transfer") == "freeze"
+    assert _layer_label(("mask", "conv1", "kernel"), "transfer") == "freeze"
+    assert _layer_label(("rpn", "conv_shared", "kernel"),
+                        "transfer") == "freeze"
+    assert _layer_label(("fpn", "resnet", "C4_0", "conv1", "kernel"),
+                        "transfer") == "freeze"
+
+
+def test_transfer_schedule_driver():
+    """run_schedule drives the 4 stages in order with cumulative epochs and
+    the reference LR ladder (1e-5, lr, lr/2, lr/5)."""
+    sched = transfer_schedule(include_transfer=True, base_lr=2e-3)
+    assert [s for s, _, _ in sched] == ["transfer", "heads", "4+", "all"]
+    assert [u for _, _, u in sched] == [10, 40, 70, 100]
+    np.testing.assert_allclose([lr for _, lr, _ in sched],
+                               [1e-5, 2e-3, 1e-3, 4e-4])
+
+    seen = []
+
+    class FakeTx:
+        def init(self, params):
+            return "opt0"
+
+    class FakeTrainer:
+        def __init__(self, stage, learning_rate):
+            self.stage, self.lr = stage, learning_rate
+            self.tx = FakeTx()
+
+    def epoch_fn(trainer, state, epoch):
+        seen.append((trainer.stage, epoch))
+        return state
+
+    state = {"params": {}, "opt_state": None}
+    run_schedule(lambda stage, learning_rate: FakeTrainer(stage,
+                                                          learning_rate),
+                 state, epochs_run=38, include_transfer=True,
+                 epoch_fn=epoch_fn)
+    # starting at epoch 38: transfer skipped (done), 2 heads epochs, then
+    # 30 "4+" epochs, then 30 "all" epochs
+    assert seen[0] == ("heads", 38) and seen[1] == ("heads", 39)
+    assert seen[2] == ("4+", 40) and seen[31] == ("4+", 69)
+    assert seen[32] == ("all", 70) and seen[-1] == ("all", 99)
 
 
 def test_maskrcnn_train_step():

@@ -1,9 +1,10 @@
-"""KITTI data-layer tests (datasets.py:423-606)."""
+"""KITTI data-layer tests (datasets.py:423-769)."""
 
 import numpy as np
 
 from sdn3d_tpu.data.kitti import (
-    hybrid_weights, kitti_targets, parse_calib_file, parse_label_file)
+    KittiSemanticsDataset, hybrid_weights, kitti_targets, parse_calib_file,
+    parse_label_file, semantics_instance_cat)
 
 
 def test_label_and_calib_parsing(tmp_path):
@@ -40,6 +41,48 @@ def test_kitti_targets_no_width_correction():
                                rtol=1e-5)
     np.testing.assert_allclose(tg["thetas"], [-0.4])
     assert np.isfinite(tg["log_depths"]).all()
+
+
+def test_kitti_semantics_dataset(tmp_path):
+    """Synthetic KITTI-semantics fixture: car instances are filtered by
+    category, area, and aspect ratio; items yield finetune-mode masks
+    (datasets.py:609-769)."""
+    from PIL import Image
+
+    inst_dir = tmp_path / "training" / "instance"
+    img_dir = tmp_path / "training" / "image_2"
+    inst_dir.mkdir(parents=True)
+    img_dir.mkdir(parents=True)
+
+    H, W = 128, 256
+    scene = np.zeros((H, W), np.int32)
+    scene[30:90, 40:110] = 6601      # car instance (6601 // 100 == 66)
+    scene[10:20, 200:210] = 6602     # car but area 100 <= 32*32 -> filtered
+    scene[95:125, 120:250] = 2500    # category 25 != car -> filtered
+    Image.fromarray(scene.astype(np.uint16)).save(
+        inst_dir / "000000_10.png")
+    rgb = np.random.RandomState(0).randint(
+        0, 255, (H, W, 3), dtype=np.uint8)
+    Image.fromarray(rgb).save(img_dir / "000000_10.png")
+
+    assert semantics_instance_cat(6601) == 66
+
+    ds = KittiSemanticsDataset(str(tmp_path), is_train=True,
+                               image_size=64, render_size=64)
+    assert len(ds) == 1
+    item = ds[0]
+    assert item["targets"] == 2                      # finetune = reproject
+    assert item["images"].shape == (64, 64, 3)
+    assert item["masks"].shape == (1, 64, 64)
+    assert item["masks"].max() == 1.0 and item["masks"].min() == 0.0
+    assert item["ignores"].sum() == 0.0
+    assert np.isfinite(item["roi_norms"]).all()
+
+    # ROI cache JSON was written and is reused on a second construction.
+    cache = tmp_path / "_cache" / "_000000.json"
+    assert cache.is_file()
+    ds2 = KittiSemanticsDataset(str(tmp_path), is_train=True)
+    assert len(ds2) == 1
 
 
 def test_hybrid_weights():

@@ -133,3 +133,80 @@ def test_get_edges():
     e = np.asarray(get_edges(inst))[0, :, :, 0]
     assert e[:, 1].all() and e[:, 2].all()
     assert not e[:, 0].any() and not e[:, 3].any()
+
+
+def test_local_enhancer_forward():
+    """LocalEnhancer (networks.py:156-208): coarse global trunk + enhancer
+    branch, output is tanh RGB at input resolution."""
+    import jax
+    import jax.numpy as jnp
+    from sdn3d_tpu.models.pix2pixhd import LocalEnhancer
+
+    m = LocalEnhancer(output_nc=3, ngf=8, n_downsample_global=2,
+                      n_blocks_global=2, n_local_enhancers=1,
+                      n_blocks_local=1)
+    x = jnp.ones((1, 64, 96, 7))
+    y = m.init_with_output(jax.random.PRNGKey(0), x)[0]
+    assert y.shape == (1, 64, 96, 3)
+    assert float(jnp.abs(y).max()) <= 1.0
+
+
+def test_alternative_semantic_decoders():
+    """C1BilinearDeepSup / PPMBilinear (models.py:251-355): train mode
+    yields log-softmax (deep-sup tuple for C1-deepsup), inference yields
+    upsampled softmax."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from sdn3d_tpu.models.semantic import C1BilinearDeepSup, PPMBilinear
+
+    conv4 = jnp.ones((1, 8, 8, 1024))
+    conv5 = jnp.ones((1, 8, 8, 2048))
+    feats = [None, None, conv4, conv5]
+
+    m = C1BilinearDeepSup(num_class=5)
+    (x, d), _ = m.init_with_output(
+        jax.random.PRNGKey(0), feats, train=True,
+        method=lambda mdl, *a, **k: mdl(*a, **k))
+    assert x.shape == (1, 8, 8, 5) and d.shape == (1, 8, 8, 5)
+    np.testing.assert_allclose(np.exp(np.asarray(x)).sum(-1), 1.0,
+                               rtol=1e-5)
+
+    m2 = PPMBilinear(num_class=5)
+    probs, _ = m2.init_with_output(jax.random.PRNGKey(0), feats,
+                                   seg_size=(32, 32))
+    assert probs.shape == (1, 32, 32, 5)
+    np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, rtol=1e-5)
+
+
+def test_get_points_from_angles():
+    import numpy as np
+    from sdn3d_tpu.geometry.camera import get_points_from_angles
+
+    p = np.asarray(get_points_from_angles(2.0, 0.0, 0.0))
+    np.testing.assert_allclose(p, [0.0, 0.0, -2.0], atol=1e-6)
+    p = np.asarray(get_points_from_angles(2.0, 90.0, 0.0))
+    np.testing.assert_allclose(p, [0.0, 2.0, 0.0], atol=1e-6)
+    p = np.asarray(get_points_from_angles(
+        np.asarray([1.0, 1.0]), np.asarray([0.0, 0.0]),
+        np.asarray([90.0, 270.0])))
+    np.testing.assert_allclose(p, [[1, 0, 0], [-1, 0, 0]], atol=1e-6)
+
+
+def test_image_metrics():
+    """l2/psnr/dssim (util2.py:48-59); ssim==1 for identical images and
+    psnr is exact for a known uniform error."""
+    import numpy as np
+    from sdn3d_tpu.utils.metrics import dssim, l2, psnr, ssim
+
+    rng = np.random.RandomState(0)
+    a = rng.randint(0, 255, (32, 32, 3)).astype(np.float64)
+    assert ssim(a, a) == 1.0
+    assert dssim(a, a) == 0.0
+    assert l2(a, a) == 0.0
+
+    b = a + 10.0
+    np.testing.assert_allclose(psnr(a, b), 10 * np.log10(255 ** 2 / 100),
+                               rtol=1e-9)
+    assert 0.0 < dssim(a, b) < 0.5
+    np.testing.assert_allclose(l2(a, b), 0.5 * (10 / 255) ** 2, rtol=1e-9)
