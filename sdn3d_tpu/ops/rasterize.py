@@ -271,9 +271,19 @@ def _silhouette_grad_pixelwise(
     plus a `walk`-step shifted-accumulation loop and one segment-sum
     scatter — no loop over faces at all.
 
-    walk: max out-walk length; 0 = image_size (exact reference semantics).
+    walk: max walk length; 0 = image_size (exact reference semantics).
     Contributions decay as 1/dist, so small windows are accurate and much
-    cheaper for training-sized images.
+    cheaper for training-sized images.  (With walk>0 BOTH passes are
+    windowed — the IN pass's per-pixel distance j shares the same 1/dist
+    decay as the OUT walk.)
+
+    Hot-loop structure (v5e profile-driven): the IN pass's alpha_out is
+    alpha at the pixel's d1_out — a per-pixel-dynamic gather that lowered
+    to lane-crossing take_along_axis and dominated the backward (~0.75 s
+    of 1.8 s at 768^2x16).  But alpha_out == the walk loop's rolled
+    alpha at step k = j+1 (j = pixel's distance to its in-boundary), so
+    the IN pass folds into the OUT walk gather-free, and one shared
+    4-roll loop per axis serves all 3 edges.
     """
     B, F = faces.shape[:2]
     isz = image_size
@@ -307,6 +317,9 @@ def _silhouette_grad_pixelwise(
             d1 = xi
             shift_axis = 2             # walk along cols (x)
 
+        # Per-edge loop-invariant terms, precomputed so the k-loop's rolls
+        # are shared across the 3 edges.
+        edges = []
         for e in range(3):
             i0, i1, i2 = e, (e + 1) % 3, (e + 2) % 3
             Au, Bu, Cu = u_all[..., i0], u_all[..., i1], u_all[..., i2]
@@ -335,16 +348,7 @@ def _silhouette_grad_pixelwise(
             invA = 1.0 / jnp.where(distA_ok, Bu - d0, 1.0)
             invB = 1.0 / jnp.where(distB_ok, d0 - Au, 1.0)
 
-            def dist_terms(d1_at, diff, gate):
-                dA = base_k * (d1_at - d1_cross) * invA
-                dA = jnp.where(dA > 0, dA + eps, dA - eps)
-                dB = base_k * (d1_at - d1_cross) * invB
-                dB = jnp.where(dB > 0, dB + eps, dB - eps)
-                gA = jnp.where(gate & distA_ok, diff / dA, 0.0)
-                gB = jnp.where(gate & distB_ok, diff / dB, 0.0)
-                return gA, gB
-
-            # ---------------- IN pass (no loop) ----------------
+            # IN-pass range (the walked span inside the face).
             use_ac = (d0 - Au) * (d0 - Cu) < 0
             slope_ac = (Cv - Av) / jnp.where(Cu != Au, Cu - Au, 1.0)
             slope_bc = (Bv - Cv) / jnp.where(Bu != Cu, Bu - Cu, 1.0)
@@ -354,45 +358,69 @@ def _silhouette_grad_pixelwise(
                                   jnp.floor(d0_cross2))
             lo_in = jnp.maximum(jnp.minimum(d1_in, d1_lim_in), 0.0)
             hi_in = jnp.minimum(jnp.maximum(d1_in, d1_lim_in), isz - 1.0)
-            in_range = (d1 >= lo_in) & (d1 <= hi_in)
+            in_range = col_ok & (d1 >= lo_in) & (d1 <= hi_in)
+            # pixel's walk distance to its in-boundary: alpha_out for the
+            # IN pass is the k = j+1 rolled alpha
+            j_dist = (d1_in - d1) * direction
 
-            out_idx = jnp.clip(d1_out.astype(jnp.int32), 0, isz - 1)
-            alpha_out = jnp.take_along_axis(
-                alpha, out_idx, axis=shift_axis)
-            diff_in = (alpha - alpha_out) * grad_alpha
-            gate_in = col_ok & in_range & (diff_in > 0)
-            gA, gB = dist_terms(d1, diff_in, gate_in)
-            acc = acc.at[..., i0, 1 - axis].add(gA)
-            acc = acc.at[..., i1, 1 - axis].add(gB)
-
-            # ---------------- OUT pass (shifted-array walk) -------------
             is_in_pixel = col_ok & (d1_in == d1)
             d1_lim_out = jnp.where(direction > 0, isz - 1.0, 0.0)
             lo_out = jnp.maximum(jnp.minimum(d1_out, d1_lim_out), 0.0)
             hi_out = jnp.minimum(jnp.maximum(d1_out, d1_lim_out), isz - 1.0)
 
-            def out_step(k, acc_pair):
-                # NOTE: an unrolled static-shift variant (pad + slice per
-                # step) was measured 7x slower to compile AND 3.6x slower to
-                # run than this fori+roll form on the TPU backend.
-                accA, accB = acc_pair
-                d1k = d1 + direction * k.astype(_f32)
-                in_seg = (d1k >= lo_out) & (d1k <= hi_out)
-                a_fwd = jnp.roll(alpha, -k, axis=shift_axis)
-                a_bwd = jnp.roll(alpha, k, axis=shift_axis)
-                g_fwd = jnp.roll(grad_alpha, -k, axis=shift_axis)
-                g_bwd = jnp.roll(grad_alpha, k, axis=shift_axis)
-                a_k = jnp.where(direction > 0, a_fwd, a_bwd)
-                g_k = jnp.where(direction > 0, g_fwd, g_bwd)
-                diff = (a_k - alpha) * g_k
-                gate = is_in_pixel & in_seg & (diff > 0)
-                gA_k, gB_k = dist_terms(d1k, diff, gate)
-                return accA + gA_k, accB + gB_k
+            edges.append(dict(
+                i0=i0, i1=i1, d1_cross=d1_cross, direction=direction,
+                base_k=base_k, distA_ok=distA_ok, distB_ok=distB_ok,
+                invA=invA, invB=invB, in_range=in_range, j_dist=j_dist,
+                is_in_pixel=is_in_pixel, lo_out=lo_out, hi_out=hi_out,
+            ))
 
-            zero = jnp.zeros((B, isz, isz), _f32)
-            accA, accB = jax.lax.fori_loop(1, W + 1, out_step, (zero, zero))
-            acc = acc.at[..., i0, 1 - axis].add(accA)
-            acc = acc.at[..., i1, 1 - axis].add(accB)
+        def dist_terms(E, d1_at, diff, gate):
+            dA = E["base_k"] * (d1_at - E["d1_cross"]) * E["invA"]
+            dA = jnp.where(dA > 0, dA + eps, dA - eps)
+            dB = E["base_k"] * (d1_at - E["d1_cross"]) * E["invB"]
+            dB = jnp.where(dB > 0, dB + eps, dB - eps)
+            gA = jnp.where(gate & E["distA_ok"], diff / dA, 0.0)
+            gB = jnp.where(gate & E["distB_ok"], diff / dB, 0.0)
+            return gA, gB
+
+        def walk_step(k, accs):
+            # NOTE: an unrolled static-shift variant (pad + slice per step)
+            # was measured 7x slower to compile AND 3.6x slower to run than
+            # this fori+roll form on the TPU backend.  The 4 rolls are the
+            # only shifted reads; everything else is pixel-local.
+            kf = k.astype(_f32)
+            a_fwd = jnp.roll(alpha, -k, axis=shift_axis)
+            a_bwd = jnp.roll(alpha, k, axis=shift_axis)
+            g_fwd = jnp.roll(grad_alpha, -k, axis=shift_axis)
+            g_bwd = jnp.roll(grad_alpha, k, axis=shift_axis)
+            out = []
+            for E, (accA, accB) in zip(edges, accs):
+                pos = E["direction"] > 0
+                a_k = jnp.where(pos, a_fwd, a_bwd)
+                # ------- OUT: contributions land at the in-boundary pixel,
+                # reading alpha/grad at distance k
+                d1k = d1 + E["direction"] * kf
+                in_seg = (d1k >= E["lo_out"]) & (d1k <= E["hi_out"])
+                g_k = jnp.where(pos, g_fwd, g_bwd)
+                diff = (a_k - alpha) * g_k
+                gate = E["is_in_pixel"] & in_seg & (diff > 0)
+                gA, gB = dist_terms(E, d1k, diff, gate)
+                # ------- IN: pixels at walk distance j = k-1 read their
+                # alpha_out (= a_k) here; grad is pixel-local
+                diff_in = (alpha - a_k) * grad_alpha
+                gate_in = (E["in_range"] & (E["j_dist"] == kf - 1.0)
+                           & (diff_in > 0))
+                gA_in, gB_in = dist_terms(E, d1, diff_in, gate_in)
+                out.append((accA + gA + gA_in, accB + gB + gB_in))
+            return tuple(out)
+
+        zero = jnp.zeros((B, isz, isz), _f32)
+        init = tuple((zero, zero) for _ in range(3))
+        accs = jax.lax.fori_loop(1, W + 1, walk_step, init)
+        for E, (accA, accB) in zip(edges, accs):
+            acc = acc.at[..., E["i0"], 1 - axis].add(accA)
+            acc = acc.at[..., E["i1"], 1 - axis].add(accB)
 
     # Scatter per-pixel contributions onto faces: grad -= diff/dist.
     seg = (fi_c + jnp.arange(B)[:, None, None] * F).reshape(-1)

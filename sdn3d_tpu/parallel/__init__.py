@@ -4,4 +4,8 @@ from sdn3d_tpu.parallel.mesh import (
     batch_sharding,
     replicated_sharding,
     shard_batch,
+    initialize_multihost,
+    make_multihost_mesh,
+    multihost_batch_sharding,
+    local_batch_slice,
 )

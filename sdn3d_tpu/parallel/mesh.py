@@ -51,3 +51,53 @@ def shard_batch(batch, mesh: Mesh, axis: str = DATA_AXIS):
     sharding = batch_sharding(mesh, axis)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch)
+
+
+# ---------------------------------------------------------------------------
+# Multi-host (the reference has only a vestigial DistributedSampler,
+# semantic/lib/utils/data/distributed.py, with no entry point ever
+# initializing torch.distributed — SURVEY.md §2.5.  Here multi-host is a
+# first-class but optional path: a DCN x ICI mesh whose slow axis spans
+# hosts.)
+# ---------------------------------------------------------------------------
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """jax.distributed.initialize with env-var fallbacks (JAX reads
+    COORDINATOR_ADDRESS etc. / cloud metadata when args are None).
+    Idempotent: safe to call when already initialized."""
+    if jax.process_count() > 1:
+        return
+    try:
+        jax.distributed.initialize(coordinator_address, num_processes,
+                                   process_id)
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e):
+            raise
+
+
+def make_multihost_mesh(axis: str = DATA_AXIS,
+                        hosts_axis: str = "hosts") -> Mesh:
+    """2-D (hosts, data) mesh: the leading axis spans processes (gradient
+    psum rides DCN), the fast axis spans each host's local chips (ICI).
+    With one process this degenerates to [1, n_local] and the hosts axis
+    is free."""
+    n_proc = jax.process_count()
+    devices = np.asarray(jax.devices())
+    local = len(devices) // n_proc
+    return Mesh(devices.reshape(n_proc, local), (hosts_axis, axis))
+
+
+def multihost_batch_sharding(mesh: Mesh, axis: str = DATA_AXIS,
+                             hosts_axis: str = "hosts") -> NamedSharding:
+    """Shard the global batch over BOTH mesh axes (hosts major)."""
+    return NamedSharding(mesh, P((hosts_axis, axis)))
+
+
+def local_batch_slice(global_batch_size: int) -> slice:
+    """This process's slice of the global batch (the DistributedSampler
+    role: each host loads only its shard)."""
+    per = global_batch_size // jax.process_count()
+    i = jax.process_index()
+    return slice(i * per, (i + 1) * per)

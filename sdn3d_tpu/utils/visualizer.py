@@ -104,3 +104,30 @@ def display_instances(image: np.ndarray, boxes: np.ndarray,
         out[y1:y2, x1] = color
         out[y1:y2, x2] = color
     return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def plot_loss(records: Sequence[Dict[str, float]], out_path: str,
+              keys: Sequence[str] | None = None,
+              step_key: str = "step") -> str:
+    """Loss curves from metric records to a PNG
+    (maskrcnn/visualize.py:405-421 plot_loss, without the interactive
+    matplotlib backend).  `records` is e.g. MetricsLogger.read_all()."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    if keys is None:
+        keys = sorted({k for r in records for k in r
+                       if k != step_key and isinstance(r[k], (int, float))})
+    steps = [r.get(step_key, i) for i, r in enumerate(records)]
+    fig, ax = plt.subplots(figsize=(8, 5))
+    for k in keys:
+        xs = [s for s, r in zip(steps, records) if k in r]
+        ys = [r[k] for r in records if k in r]
+        ax.plot(xs, ys, label=k)
+    ax.set_xlabel(step_key)
+    ax.legend(loc="best", fontsize=8)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=100)
+    plt.close(fig)
+    return out_path

@@ -238,3 +238,14 @@ def test_vkitti_gt_objects_and_dataset_mode(tmp_path):
     assert image.shape == (H, W, 3)
     assert gt is not None and len(gt[0]) == 2
     assert ops[0]["type"] == "delete"
+
+
+def test_plot_loss(tmp_path):
+    """Loss-curve PNG from metric records (maskrcnn visualize.py:405-421)."""
+    import os
+    from sdn3d_tpu.utils.visualizer import plot_loss
+
+    recs = [{"step": i, "loss": 1.0 / (i + 1), "val_loss": 2.0 / (i + 1)}
+            for i in range(5)]
+    p = plot_loss(recs, str(tmp_path / "loss.png"))
+    assert os.path.getsize(p) > 1000

@@ -113,3 +113,23 @@ def test_graft_entry():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     ge.dryrun_multichip(8)
+
+
+def test_multihost_mesh_single_process(setup):
+    """The DCN x ICI mesh degenerates to [1, n_local] under one process;
+    a batch sharded over (hosts, data) matches the flat data sharding."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from sdn3d_tpu.parallel import (local_batch_slice, make_multihost_mesh,
+                                    multihost_batch_sharding)
+
+    mesh = make_multihost_mesh()
+    assert mesh.devices.shape == (1, len(jax.devices()))
+
+    x = jnp.arange(16.0).reshape(16, 1)
+    xs = jax.device_put(x, multihost_batch_sharding(mesh))
+    y = jax.jit(lambda a: (a * 2).sum())(xs)
+    np.testing.assert_allclose(float(y), float((x * 2).sum()))
+
+    assert local_batch_slice(16) == slice(0, 16)
