@@ -423,10 +423,15 @@ def _silhouette_grad_pixelwise(
             acc = acc.at[..., E["i1"], 1 - axis].add(accB)
 
     # Scatter per-pixel contributions onto faces: grad -= diff/dist.
+    # Six SCALAR segment_sums: on v5e a [N, 6] row scatter measured 1.8x
+    # slower than 6 independent [N] scatters (scatter cost is per-row
+    # bound, and narrow multi-lane rows hit a slow path).
     seg = (fi_c + jnp.arange(B)[:, None, None] * F).reshape(-1)
-    vals = jnp.where(hit[..., None, None], -acc, 0.0).reshape(-1, 6)
-    g = jax.ops.segment_sum(vals, seg, num_segments=B * F)
-    g = g.reshape(B, F, 3, 2)
+    acc = jnp.where(hit[..., None, None], -acc, 0.0)
+    comps = [jax.ops.segment_sum(acc[..., v, c].reshape(-1), seg,
+                                 num_segments=B * F)
+             for v in range(3) for c in range(2)]
+    g = jnp.stack(comps, axis=-1).reshape(B, F, 3, 2)
     return jnp.concatenate([g, jnp.zeros((B, F, 3, 1), _f32)], axis=-1)
 
 

@@ -221,3 +221,60 @@ def port_multiscale_discriminator(sd, num_D=2, n_layers=3) -> dict:
             scale[f"conv{j}"] = _conv(sd, f"scale{i}_layer{j}.0")
         P[f"scale{i}"] = scale
     return {"params": P}
+
+
+def port_maskrcnn(sd, stage_sizes=(3, 4, 23, 3)) -> dict:
+    """Reference Mask R-CNN state_dict (maskrcnn/model.py MaskRCNN:
+    mask_rcnn_{name}_{epoch}.pth) -> flax MaskRCNN variables.
+
+    Reference module layout (model.py:1419-1486): fpn.C1 is a Sequential
+    [conv7x7, bn, relu, SamePad, maxpool]; fpn.C2..C5 are Sequentials of
+    Bottlenecks (conv1/bn1..conv3/bn3, downsample.0/.1); fpn.P{k}_conv1
+    are 1x1 convs and fpn.P{k}_conv2 Sequentials [SamePad, conv3x3];
+    heads are rpn.conv_*, classifier.{conv,bn,linear}_*, mask.conv1..5 /
+    bn1..4 / deconv."""
+    sd = _to_np(sd)
+    P: dict = {"fpn": {"resnet": {}}, "rpn": {}, "classifier": {},
+               "mask": {}}
+    S: dict = {"fpn": {"resnet": {}}, "classifier": {}, "mask": {}}
+    res_P = P["fpn"]["resnet"]
+    res_S = S["fpn"]["resnet"]
+
+    res_P["conv1"] = _conv(sd, "fpn.C1.0")
+    res_P["bn1"], res_S["bn1"] = _bn(sd, "fpn.C1.1")
+    for s, blocks in enumerate(stage_sizes):
+        for j in range(blocks):
+            src = f"fpn.C{s + 2}.{j}"
+            dst = f"C{s + 2}_{j}"
+            blk, bst = {}, {}
+            for k in range(1, 4):
+                blk[f"conv{k}"] = _conv(sd, f"{src}.conv{k}")
+                blk[f"bn{k}"], bst[f"bn{k}"] = _bn(sd, f"{src}.bn{k}")
+            if f"{src}.downsample.0.weight" in sd:
+                blk["downsample_conv"] = _conv(sd, f"{src}.downsample.0")
+                blk["downsample_bn"], bst["downsample_bn"] = _bn(
+                    sd, f"{src}.downsample.1")
+            res_P[dst] = blk
+            res_S[dst] = bst
+
+    for k in range(2, 6):
+        P["fpn"][f"P{k}_conv1"] = _conv(sd, f"fpn.P{k}_conv1")
+        P["fpn"][f"P{k}_conv2"] = _conv(sd, f"fpn.P{k}_conv2.1")
+
+    for n in ("conv_shared", "conv_class", "conv_bbox"):
+        P["rpn"][n] = _conv(sd, f"rpn.{n}")
+
+    for k in (1, 2):
+        P["classifier"][f"conv{k}"] = _conv(sd, f"classifier.conv{k}")
+        (P["classifier"][f"bn{k}"],
+         S["classifier"][f"bn{k}"]) = _bn(sd, f"classifier.bn{k}")
+    P["classifier"]["linear_class"] = _linear(sd, "classifier.linear_class")
+    P["classifier"]["linear_bbox"] = _linear(sd, "classifier.linear_bbox")
+
+    for k in range(1, 5):
+        P["mask"][f"conv{k}"] = _conv(sd, f"mask.conv{k}")
+        P["mask"][f"bn{k}"], S["mask"][f"bn{k}"] = _bn(sd, f"mask.bn{k}")
+    P["mask"]["deconv"] = _convT(sd, "mask.deconv")
+    P["mask"]["conv5"] = _conv(sd, "mask.conv5")
+
+    return {"params": P, "batch_stats": S}

@@ -272,3 +272,96 @@ def test_pix2pixhd_discriminator_port_parity():
         np.testing.assert_allclose(
             np.asarray(scale_got[-1]).transpose(0, 3, 1, 2),
             scale_ref[-1].numpy(), atol=2e-4, rtol=1e-3)
+
+
+def _install_maskrcnn_stubs():
+    """Stub the compiled CUDA extensions (nms/roialign), skimage, and the
+    matplotlib-heavy visualize module so the reference maskrcnn/model.py
+    imports on this machine."""
+    def mod(name, **attrs):
+        m = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules.setdefault(name, m)
+        return m
+
+    mod("nms")
+    mod("nms.nms_wrapper", nms=lambda *a, **k: None)
+    mod("roialign")
+    mod("roialign.roi_align")
+    mod("roialign.roi_align.crop_and_resize",
+        CropAndResizeFunction=object)
+    sk = mod("skimage")
+    sk.color = mod("skimage.color")
+    sk.io = mod("skimage.io")
+    sk.transform = mod("skimage.transform")
+    mod("visualize")
+
+
+def test_maskrcnn_port_parity(tmp_path):
+    """Reference MaskRCNN state_dict -> flax MaskRCNN: FPN pyramid and RPN
+    head outputs must match (random weights, randomized BN stats, eval
+    mode).  Heads (classifier/mask) are ported by the same name map; their
+    ROI-align inputs differ in implementation so the backbone+RPN parity
+    is the port's integration check."""
+    _install_maskrcnn_stubs()
+    sys.path.insert(0, "/root/reference/geometric/maskrcnn")
+    import importlib
+    import model as ref_model
+
+    import jax
+    import jax.numpy as jnp
+    from sdn3d_tpu.models.maskrcnn import FPN, RPNHead, MaskRCNNConfig
+    from sdn3d_tpu.utils.port import port_maskrcnn
+
+    import config as ref_config
+
+    class _Cfg(ref_config.Config):
+        NAME = "parity"
+        GPU_COUNT = 0          # skip .cuda() on the anchors (model.py:1466)
+
+    cfg = _Cfg()
+
+    torch.manual_seed(0)
+    rng = np.random.RandomState(0)
+    net = ref_model.MaskRCNN(cfg, str(tmp_path))
+    with torch.no_grad():
+        _randomize_bn_stats(net, rng)
+        # non-trivial weights (reference init leaves some at kaiming/zeros)
+        for p in net.parameters():
+            p.add_(torch.tensor(
+                0.05 * rng.randn(*p.shape).astype(np.float32)))
+    net.eval()
+
+    x = torch.randn(1, 128, 128, 3).permute(0, 3, 1, 2)
+    with torch.no_grad():
+        p2, p3, p4, p5, p6 = net.fpn(x)
+        rpn_logits, rpn_probs, rpn_bbox = net.rpn(p2)
+
+    variables = port_maskrcnn(net.state_dict())
+    fpn = FPN(out_channels=256, stage_sizes=(3, 4, 23, 3))
+    xj = jnp.asarray(x.permute(0, 2, 3, 1).numpy())
+    outs = fpn.apply({"params": variables["params"]["fpn"],
+                      "batch_stats": variables["batch_stats"]["fpn"]},
+                     xj, train=False)
+    def assert_close_rel(a, b, name, tol=2e-3):
+        # random resnet101 weights blow activations up to ~1e16, so
+        # compare relative to the output scale
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-12
+        err = np.abs(a - b).max() / scale
+        assert err < tol, (name, err, scale)
+
+    for ref, ours, name in [(p2, outs[0], "p2"), (p3, outs[1], "p3"),
+                            (p4, outs[2], "p4"), (p5, outs[3], "p5"),
+                            (p6, outs[4], "p6")]:
+        assert_close_rel(ours, ref.numpy().transpose(0, 2, 3, 1), name)
+
+    rpn = RPNHead(anchors_per_location=len(cfg.RPN_ANCHOR_RATIOS),
+                  anchor_stride=cfg.RPN_ANCHOR_STRIDE)
+    logits_j, _, bbox_j = rpn.apply(
+        {"params": variables["params"]["rpn"]}, outs[0])
+    assert_close_rel(np.asarray(logits_j).reshape(-1, 2),
+                     rpn_logits.numpy().reshape(-1, 2), "rpn_logits")
+    assert_close_rel(np.asarray(bbox_j).reshape(-1, 4),
+                     rpn_bbox.numpy().reshape(-1, 4), "rpn_bbox")
