@@ -33,6 +33,11 @@ def build_argparser():
                    default=os.environ.get("SHAPENET_ROOT_DIR"))
     p.add_argument("--synthetic", action="store_true",
                    help="synthetic mesh bank + random batches (smoke mode)")
+    p.add_argument("--vkitti_root",
+                   default=os.environ.get("VKITTI_ROOT_DIR"),
+                   help="train on real VKITTI per-object items (threaded "
+                        "prefetch loader); otherwise synthetic batches")
+    p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--grad_walk", type=int, default=64)
     return p
 
@@ -81,16 +86,44 @@ def main(argv=None):
             b["ignores"] = np.zeros_like(b["masks"])
         return {k: jnp.asarray(v) for k, v in b.items()}
 
+    mesh = make_mesh_for_batch(args.batch_size)
+
+    def batches():
+        """Real VKITTI per-object stream (prefetch loader) or synthetic."""
+        if args.vkitti_root and not args.synthetic:
+            import random as _random
+            from sdn3d_tpu.data.loader import PrefetchLoader
+            from sdn3d_tpu.data.vkitti_derender import VKittiDerenderDataset
+            from sdn3d_tpu.parallel import batch_sharding
+
+            ds = VKittiDerenderDataset(
+                args.vkitti_root, is_train=True,
+                image_size=args.image_size, render_size=args.render_size,
+                jitter_rng=_random.Random(0))
+            print(f"VKITTI derender dataset: {len(ds)} objects")
+            it = 0
+            while it < args.num_iters:
+                loader = PrefetchLoader(ds, args.batch_size,
+                                        num_workers=args.num_workers,
+                                        sharding=batch_sharding(mesh),
+                                        seed=it)
+                for b in loader:
+                    yield b
+                    it += 1
+                    if it >= args.num_iters:
+                        return
+        else:
+            for i in range(args.num_iters):
+                yield shard_batch(make_batch(i + 1), mesh)
+
     batch = make_batch(0)
     state = trainer.init(jax.random.PRNGKey(0), batch)
 
-    mesh = make_mesh_for_batch(args.batch_size)
     state = jax.device_put(state, NamedSharding(mesh, P()))
     bank_r = jax.device_put(bank, NamedSharding(mesh, P()))
     step_fn = jax.jit(trainer.make_train_step())
 
-    for it in range(args.num_iters):
-        batch = shard_batch(make_batch(it + 1), mesh)
+    for it, batch in enumerate(batches()):
         state, losses = step_fn(state, batch, jax.random.PRNGKey(it), bank_r)
         if it % 10 == 0:
             msg = " ".join(f"{k}={float(v):.4f}" for k, v in losses.items())

@@ -151,3 +151,124 @@ class VKittiMotgt:
         if hasattr(rows, "iterrows"):
             return [r.to_dict() for _, r in rows.iterrows()]
         return [rows.to_dict()]
+
+
+def read_scenegt_codes(root_dir: str, world: str, topic: str
+                       ) -> Dict[str, Tuple[int, int, int]]:
+    """Per-(world, topic) scenegt encoding: 'Category(:id)' -> RGB code
+    (datasets.py:259-277 _read_scenegt)."""
+    path = os.path.join(root_dir, "vkitti_1.3.1_scenegt",
+                        f"{world}_{topic}_scenegt_rgb_encoding.txt")
+    codes = {}
+    with open(path) as f:
+        for i, line in enumerate(f):
+            if i == 0:
+                continue
+            name, r, g, b = line.split(" ")
+            codes[name] = (int(r), int(g), int(b))
+    return codes
+
+
+@dataclasses.dataclass
+class VKittiDerenderDataset:
+    """Per-object derenderer training items (datasets.py:279-420 VKitti).
+
+    Each item is one vehicle instance: normalized 224^2 RGB crop, 256^2
+    mask + occlusion-ignore crops, and the motgt GT targets.  Training
+    items are filtered by area > 16^2, truncr < 0.7, occupr > 0.3
+    (datasets.py:313-327) and get ROI jitter + (elsewhere) color jitter.
+    """
+
+    root_dir: str
+    is_train: bool = True
+    is_evaluate: bool = False
+    image_size: int = 224
+    render_size: int = 256
+    mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+    jitter_rng: Optional[random.Random] = None
+
+    def __post_init__(self):
+        self.motgt = VKittiMotgt(self.root_dir)
+        self._codes: Dict[Tuple[str, str], Dict] = {}
+        self.items: List[Tuple[str, str, int, dict]] = []
+        split = "train" if self.is_train else "test"
+        for world, topic, frame in self.motgt.frames(split):
+            for row in self.motgt.objects(world, topic, frame):
+                if self.is_evaluate or training_row_filter(row):
+                    self.items.append((world, topic, frame, row))
+
+    def __len__(self):
+        return len(self.items)
+
+    def codes(self, world: str, topic: str) -> Dict:
+        key = (world, topic)
+        if key not in self._codes:
+            self._codes[key] = read_scenegt_codes(self.root_dir, world,
+                                                  topic)
+        return self._codes[key]
+
+    def read_rgb(self, world, topic, frame) -> np.ndarray:
+        from PIL import Image
+        from sdn3d_tpu.data.vkitti import rgb_path
+        return np.asarray(Image.open(
+            rgb_path(self.root_dir, world, topic, frame)).convert("RGB"))
+
+    def read_scene(self, world, topic, frame) -> np.ndarray:
+        from PIL import Image
+        from sdn3d_tpu.data.vkitti import scenegt_path
+        return np.asarray(Image.open(
+            scenegt_path(self.root_dir, world, topic, frame)))
+
+    @staticmethod
+    def _obj_name(row: dict) -> str:
+        return f"{row['orig_label']}:{int(row['tid'])}"
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        from sdn3d_tpu.data.vkitti import transform_mask, transform_rgb
+
+        world, topic, frame, row = self.items[index]
+        codes = self.codes(world, topic)
+        scene = self.read_scene(world, topic, frame)
+
+        mask = np.all(scene == np.asarray(codes[self._obj_name(row)]),
+                      axis=-1)
+        roi = mask_to_roi(mask)
+        if self.is_train:
+            roi = roi_jitter(roi, rng=self.jitter_rng)
+
+        out = motgt_targets(row, roi)
+        out["targets"] = 3                  # pretrain | finetune
+        out["rois"] = np.asarray(roi, np.float32)
+        out["focals"] = np.asarray([Camera.focal], np.float32)
+        out["widths"] = np.asarray([Camera.width], np.float32)
+        out["heights"] = np.asarray([Camera.height], np.float32)
+        out["u0s"] = np.asarray([Camera.u0], np.float32)
+        out["v0s"] = np.asarray([Camera.v0], np.float32)
+
+        # occlusion ignores from depth ordering over ALL frame objects
+        rows = self.motgt.objects(world, topic, frame)
+        masks = np.stack([
+            np.all(scene == np.asarray(codes[self._obj_name(r)]), axis=-1)
+            for r in rows]).astype(np.float32)
+        depths = np.asarray([object_depth_sq(r) for r in rows])
+        own = next(i for i, r in enumerate(rows)
+                   if self._obj_name(r) == self._obj_name(row))
+        ignore = occlusion_ignore(masks, depths, own)
+
+        if not self.is_evaluate:
+            image_rgb = self.read_rgb(world, topic, frame)
+            out["images"] = transform_rgb(image_rgb, roi,
+                                          image_size=self.image_size,
+                                          mean=self.mean, std=self.std)
+            out["masks"] = transform_mask(
+                mask[..., None], roi,
+                render_size=self.render_size)[None, ..., 0]
+            # outside-the-frame pixels count as ignored (fill=255,
+            # datasets.py:144)
+            from sdn3d_tpu.data.vkitti import crop_square, resize_bilinear_np
+            ig = crop_square(ignore[..., None].astype(np.float32), roi,
+                             fill=1.0)
+            out["ignores"] = resize_bilinear_np(
+                ig, self.render_size)[None, ..., 0]
+        return out

@@ -249,3 +249,31 @@ def test_plot_loss(tmp_path):
             for i in range(5)]
     p = plot_loss(recs, str(tmp_path / "loss.png"))
     assert os.path.getsize(p) > 1000
+
+
+def test_geometric_train_cli_vkitti(tmp_path):
+    """The geometric train CLI consumes real-format VKITTI data through
+    the threaded prefetch loader (pretrain mode: geometry losses only)."""
+    import os
+    from sdn3d_tpu.cli.geometric_train import main
+
+    root = str(tmp_path / "vkitti")
+    os.makedirs(root)
+    _make_vkitti_tree(root)
+    mot_dir = os.path.join(root, "vkitti_1.3.1_motgt")
+    os.makedirs(mot_dir)
+    header = ("frame tid orig_label truncr occupr l t r b "
+              "w3d h3d l3d x3d y3d z3d ry\n")
+    rows = [
+        "1 1 Car 0.0 0.9 10 10 40 30 1.8 1.6 4.0 1.0 1.5 10.0 0.3\n",
+        "1 3 Van 0.0 0.9 50 35 90 60 1.9 2.0 5.0 -2.0 1.6 20.0 -0.4\n",
+    ]
+    with open(os.path.join(mot_dir, "0001_clone.txt"), "w") as f:
+        f.write(header + "".join(rows))
+
+    out = tmp_path / "ckpt"
+    main(["--mode", "pretrain", "--batch_size", "2", "--image_size", "64",
+          "--render_size", "64", "--num_iters", "2", "--num_workers", "2",
+          "--vkitti_root", root, "--ckpt_dir", str(out)])
+    assert any(p.name.startswith("model-") or p.is_dir()
+               for p in out.iterdir())

@@ -95,3 +95,74 @@ def test_training_row_filter():
     assert not training_row_filter(make_row(b=155, r=610))      # tiny
     assert not training_row_filter(make_row(truncr=0.8))
     assert not training_row_filter(make_row(occupr=0.2))
+
+
+def test_vkitti_derender_dataset(tmp_path):
+    """Full per-object training dataset (datasets.py:279-420): masks from
+    scenegt codes, filtered rows, GT targets, occlusion ignores, cropped
+    tensors."""
+    import os
+    from PIL import Image
+    from sdn3d_tpu.data.vkitti_derender import VKittiDerenderDataset
+
+    root = str(tmp_path)
+    world, topic, frame = "0001", "clone", 400  # test-split range
+    gt_dir = os.path.join(root, "vkitti_1.3.1_scenegt")
+    os.makedirs(os.path.join(gt_dir, world, topic), exist_ok=True)
+    for w in ["0001", "0002", "0006", "0018", "0020"]:
+        for t in ["15-deg-left", "15-deg-right", "30-deg-left",
+                  "30-deg-right", "clone", "fog", "morning", "overcast",
+                  "rain", "sunset"]:
+            with open(os.path.join(
+                    gt_dir, f"{w}_{t}_scenegt_rgb_encoding.txt"), "w") as f:
+                f.write("name r g b\n")
+                if (w, t) == (world, topic):
+                    f.write("Car:1 200 10 10\nCar:2 10 200 10\n")
+
+    H, W = 96, 128
+    scene = np.zeros((H, W, 3), np.uint8)
+    scene[30:80, 60:110] = [10, 200, 10]    # car 2 (far)
+    scene[20:60, 20:70] = [200, 10, 10]     # car 1 (near, painted on top)
+    Image.fromarray(scene).save(
+        os.path.join(gt_dir, world, topic, f"{frame:05d}.png"))
+    rgb_dir = os.path.join(root, "vkitti_1.3.1_rgb", world, topic)
+    os.makedirs(rgb_dir)
+    Image.fromarray(np.random.RandomState(0).randint(
+        0, 255, (H, W, 3), np.uint8)).save(
+        os.path.join(rgb_dir, f"{frame:05d}.png"))
+
+    mot_dir = os.path.join(root, "vkitti_1.3.1_motgt")
+    os.makedirs(mot_dir)
+    header = ("frame tid orig_label truncr occupr l t r b "
+              "w3d h3d l3d x3d y3d z3d ry\n")
+    # car 1 at depth 10, car 2 at depth 30; the third row fails the
+    # area filter (tiny box)
+    rows = [
+        f"{frame} 1 Car 0.0 0.9 20 20 70 60 1.8 1.6 4.0 1.0 1.5 10.0 0.3\n",
+        f"{frame} 2 Car 0.0 0.9 60 30 110 80 1.8 1.6 4.0 -2.0 1.5 30.0 -0.5\n",
+    ]
+    with open(os.path.join(mot_dir, f"{world}_{topic}.txt"), "w") as f:
+        f.write(header + "".join(rows))
+
+    ds = VKittiDerenderDataset(root, is_train=False)
+    assert len(ds) == 2
+    item = ds[0]
+    assert item["targets"] == 3
+    assert item["images"].shape == (224, 224, 3)
+    assert item["masks"].shape == (1, 256, 256)
+    assert item["ignores"].shape == (1, 256, 256)
+    assert item["masks"].max() == 1.0
+    # nearer car 1 has no ignores inside the frame region; car 2 (farther)
+    # is occluded by car 1 -> nonzero ignore
+    item2 = ds[1]
+    inner = item["ignores"][0, 64:192, 64:192]
+    assert inner.sum() == 0.0
+    assert item2["ignores"].sum() > 0.0
+    # targets: theta = -ry
+    np.testing.assert_allclose(item["thetas"], [-0.3], atol=1e-6)
+    np.testing.assert_allclose(np.exp(item["log_scales"]),
+                               [4.0, 1.6, 1.2206 * 1.8], rtol=1e-5)
+    assert np.isfinite(item["log_depths"]).all()
+    # frame 400 of world 0001 is in the TEST split only
+    ds_train = VKittiDerenderDataset(root, is_train=True)
+    assert len(ds_train) == 0
