@@ -55,6 +55,12 @@ class MeshBank:
     num_faces: np.ndarray     # [M] int32
     ffd_B: np.ndarray         # [M, V_max, G, G, G] float32 (zero on padding)
     ffd_P0: np.ndarray        # [3, G, G, G]
+    # Static vertex->(face, corner) adjacency, padded to the bank-wide max
+    # degree: adj[m, v, d] = face*4 + corner for every faces[m, face,
+    # corner] == v, or -1.  Lets the vertices_to_faces VJP run as a GATHER
+    # over [V, D] instead of a [F*3]-row scatter (TPU scatters are ~20x
+    # slower than gathers).
+    adjacency: np.ndarray     # [M, V_max, D] int32, -1 padded
 
     @property
     def num_meshes(self) -> int:
@@ -65,6 +71,22 @@ def _pad_to(arr: np.ndarray, n: int, axis: int = 0) -> np.ndarray:
     pad = [(0, 0)] * arr.ndim
     pad[axis] = (0, n - arr.shape[axis])
     return np.pad(arr, pad)
+
+
+def _vertex_adjacency(faces: np.ndarray, num_vertices: int) -> np.ndarray:
+    """[F, 3] int faces -> [num_vertices, D] int32 of (face*4 + corner),
+    -1 padded, D = max vertex degree."""
+    order = np.argsort(faces.reshape(-1), kind="stable")
+    v_sorted = faces.reshape(-1)[order]
+    counts = np.bincount(v_sorted, minlength=num_vertices)
+    D = int(counts.max()) if counts.size else 1
+    adj = np.full((num_vertices, max(D, 1)), -1, np.int32)
+    slot = np.concatenate([np.arange(c) for c in counts]) if counts.sum() \
+        else np.zeros(0, np.int64)
+    f_idx = (order // 3).astype(np.int32)
+    c_idx = (order % 3).astype(np.int32)
+    adj[v_sorted, slot] = f_idx * 4 + c_idx
+    return adj
 
 
 def build_mesh_bank(meshes: Sequence[Tuple[np.ndarray, np.ndarray]],
@@ -79,7 +101,7 @@ def build_mesh_bank(meshes: Sequence[Tuple[np.ndarray, np.ndarray]],
     if f_pad is not None:
         f_max = max(f_max, f_pad)
 
-    V, F, FV, VV, NV, NF, BS = [], [], [], [], [], [], []
+    V, F, FV, VV, NV, NF, BS, ADJ = [], [], [], [], [], [], [], []
     P0 = None
     for verts, faces in meshes:
         nv, nf = verts.shape[0], faces.shape[0]
@@ -91,6 +113,14 @@ def build_mesh_bank(meshes: Sequence[Tuple[np.ndarray, np.ndarray]],
         NV.append(nv)
         NF.append(nf)
         BS.append(_pad_to(B, v_max))
+        ADJ.append(_vertex_adjacency(faces.astype(np.int64), nv))
+
+    d_max = max(a.shape[1] for a in ADJ)
+    ADJ = [np.pad(_pad_to(a, v_max), ((0, 0), (0, d_max - a.shape[1])),
+                  constant_values=-1) for a in ADJ]
+    # _pad_to pads new vertex rows with 0; mark them empty instead.
+    for a, nv in zip(ADJ, NV):
+        a[nv:] = -1
 
     return MeshBank(
         vertices=np.stack(V),
@@ -101,6 +131,7 @@ def build_mesh_bank(meshes: Sequence[Tuple[np.ndarray, np.ndarray]],
         num_faces=np.asarray(NF, np.int32),
         ffd_B=np.stack(BS),
         ffd_P0=P0,
+        adjacency=np.stack(ADJ),
     )
 
 

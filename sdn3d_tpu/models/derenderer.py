@@ -108,6 +108,7 @@ class DeviceMeshBank:
     face_valid: jnp.ndarray  # [M, F]
     ffd_B: jnp.ndarray       # [M, V, G, G, G]
     ffd_P0: jnp.ndarray      # [3, G, G, G]
+    adjacency: jnp.ndarray   # [M, V, D] int32 (face*4+corner, -1 padded)
 
     @classmethod
     def from_host(cls, bank) -> "DeviceMeshBank":
@@ -117,6 +118,7 @@ class DeviceMeshBank:
             face_valid=jnp.asarray(bank.face_valid),
             ffd_B=jnp.asarray(bank.ffd_B),
             ffd_P0=jnp.asarray(bank.ffd_P0),
+            adjacency=jnp.asarray(bank.adjacency),
         )
 
 
@@ -266,7 +268,8 @@ def render_blob(
         gw = 0 if render_size <= 128 else 64
         out["_masks"] = render(verts_cam, faces, RenderType.Silhouette,
                                face_valid, image_size=render_size,
-                               viewing_angle=viewing_angle, grad_walk=gw)
+                               viewing_angle=viewing_angle, grad_walk=gw,
+                               vertex_adjacency=bank.adjacency[cls])
         if mode & TargetType.normal:
             out["_normals"] = render(verts_cam, faces, RenderType.Normal,
                                      face_valid, image_size=render_size,

@@ -249,8 +249,11 @@ def rasterize_face_maps(
 
 def _silhouette_grad_pixelwise(
     faces: jnp.ndarray,          # [B, F, 3, 3]
-    face_valid: jnp.ndarray,     # [B, F] (unused: fi only holds valid faces)
-    face_index: jnp.ndarray,     # [B, H, W] int32
+    face_valid: jnp.ndarray,     # [B, F] (culling only: fi already holds
+                                 #         only valid faces)
+    face_index: jnp.ndarray,     # [B, H, W] int32 (any consistent face
+                                 #         order; pass Morton-sorted for a
+                                 #         fast pixel->face reduction)
     alpha: jnp.ndarray,          # [B, H, W]
     grad_alpha: jnp.ndarray,     # [B, H, W]
     image_size: int,
@@ -299,9 +302,10 @@ def _silhouette_grad_pixelwise(
     yi = jax.lax.broadcasted_iota(_f32, (isz, isz), 0)[None]
     xi = jax.lax.broadcasted_iota(_f32, (isz, isz), 1)[None]
 
-    # acc[..., vert, comp]: per-pixel gradient contribution to the pixel's
-    # own face's vertices.
-    acc = jnp.zeros((B, isz, isz, 3, 2), _f32)
+    # comps[(vert, comp)]: per-pixel gradient contribution to the pixel's
+    # own face's vertex `vert`, coordinate `comp` (0=x, 1=y).
+    zero = jnp.zeros((B, isz, isz), _f32)
+    comps = {(v, c): zero for v in range(3) for c in range(2)}
 
     for axis in range(2):
         if axis == 0:
@@ -415,23 +419,39 @@ def _silhouette_grad_pixelwise(
                 out.append((accA + gA + gA_in, accB + gB + gB_in))
             return tuple(out)
 
-        zero = jnp.zeros((B, isz, isz), _f32)
         init = tuple((zero, zero) for _ in range(3))
         accs = jax.lax.fori_loop(1, W + 1, walk_step, init)
         for E, (accA, accB) in zip(edges, accs):
-            acc = acc.at[..., E["i0"], 1 - axis].add(accA)
-            acc = acc.at[..., E["i1"], 1 - axis].add(accB)
+            k0 = (E["i0"], 1 - axis)
+            k1 = (E["i1"], 1 - axis)
+            comps[k0] = comps[k0] + accA
+            comps[k1] = comps[k1] + accB
 
-    # Scatter per-pixel contributions onto faces: grad -= diff/dist.
-    # Six SCALAR segment_sums: on v5e a [N, 6] row scatter measured 1.8x
-    # slower than 6 independent [N] scatters (scatter cost is per-row
-    # bound, and narrow multi-lane rows hit a slow path).
-    seg = (fi_c + jnp.arange(B)[:, None, None] * F).reshape(-1)
-    acc = jnp.where(hit[..., None, None], -acc, 0.0)
-    comps = [jax.ops.segment_sum(acc[..., v, c].reshape(-1), seg,
-                                 num_segments=B * F)
-             for v in range(3) for c in range(2)]
-    g = jnp.stack(comps, axis=-1).reshape(B, F, 3, 2)
+    # Reduce per-pixel contributions onto faces: grad -= diff/dist.
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if on_tpu and isz % 128 == 0:
+        # One-hot matmul segmented reduction (Pallas/MXU): the XLA scatter
+        # alternative below runs ~77M rows/s on v5e (~730 ms for the 6
+        # components at 768^2 x 16) and dominates the whole backward.
+        from sdn3d_tpu.ops import rasterize_pallas as RP
+        planes = [-comps[(v, c)] for v in range(3) for c in range(2)]
+        planes += [zero, zero]
+        acc8 = jnp.stack(planes, axis=1)                    # [B, 8, H, W]
+        _, nondeg = _face_inv(faces, isz)
+        ok = _frontface(faces) & nondeg & face_valid
+        aux, cb = RP.pack_seg_aux(faces, isz, ok)
+        out = RP.segment_face_grads_pallas(acc8, face_index, aux, cb, isz)
+        g = out[:, :F, :6].reshape(B, F, 3, 2)
+    else:
+        # Six SCALAR segment_sums: on v5e a [N, 6] row scatter measured
+        # 1.8x slower than 6 independent [N] scatters (scatter cost is
+        # per-row bound, and narrow multi-lane rows hit a slow path).
+        seg = (fi_c + jnp.arange(B)[:, None, None] * F).reshape(-1)
+        sums = [jax.ops.segment_sum(
+            jnp.where(hit, -comps[(v, c)], 0.0).reshape(-1), seg,
+            num_segments=B * F)
+            for v in range(3) for c in range(2)]
+        g = jnp.stack(sums, axis=-1).reshape(B, F, 3, 2)
     return jnp.concatenate([g, jnp.zeros((B, F, 3, 1), _f32)], axis=-1)
 
 
@@ -670,27 +690,64 @@ def _depth_grad(
 # custom_vjp wrappers
 # ---------------------------------------------------------------------------
 
+def _rasterize_sorted(faces, face_valid, image_size: int, near: float,
+                      far: float):
+    """Hit map in Morton-SORTED face space + perm (TPU pallas path), or
+    (hit map in original space, None) elsewhere.
+
+    The silhouette path never needs original face ids in the map itself —
+    skipping the un-permute gather saves a [B, P] lane-crossing gather per
+    forward, and the backward's pixel->face reduction gets Morton-coherent
+    face groups (see segment_face_grads_pallas)."""
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if on_tpu and image_size % 128 == 0:
+        from sdn3d_tpu.ops import rasterize_pallas as RP
+        version = RP.KERNEL_VERSION
+        packed, aux, chunk_bbox, perm = RP.pack_faces(
+            faces, face_valid, image_size, version=version)
+        fi, _ = RP.rasterize_face_index_pallas(
+            packed, aux, chunk_bbox, image_size, near, far, version=version)
+        return fi, perm
+    fi, _, _, _ = rasterize_face_maps(
+        faces, face_valid, image_size, near, far, return_face_inv=False,
+        return_weights=False, impl="xla")
+    return fi, None
+
+
 @functools.lru_cache(maxsize=None)
 def _make_silhouette_fn(image_size: int, near: float, far: float, eps: float,
                         walk: int = 0):
     @jax.custom_vjp
     def sil(faces, face_valid):
-        fi, _, _, _ = rasterize_face_maps(
-            faces, face_valid, image_size, near, far, return_face_inv=False,
-            return_weights=False)
+        fi, _ = _rasterize_sorted(faces, face_valid, image_size, near, far)
         return (fi >= 0).astype(_f32)
 
     def fwd(faces, face_valid):
-        fi, _, _, _ = rasterize_face_maps(
-            faces, face_valid, image_size, near, far, return_face_inv=False,
-            return_weights=False)
+        fi, perm = _rasterize_sorted(faces, face_valid, image_size, near,
+                                     far)
         alpha = (fi >= 0).astype(_f32)
-        return alpha, (faces, face_valid, fi, alpha)
+        return alpha, (faces, face_valid, fi, perm, alpha)
 
     def bwd(res, g):
-        faces, face_valid, fi, alpha = res
-        gf = _silhouette_grad_pixelwise(faces, face_valid, fi, alpha, g,
-                                        image_size, eps, walk=walk)
+        faces, face_valid, fi, perm, alpha = res
+        if perm is not None:
+            # fi is in sorted space: run the whole backward there, then
+            # permute the face grads back (iota-scatter inverse + row
+            # gather — cheaper than one [N, 9]-lane row scatter).
+            F = faces.shape[1]
+            pf = perm[:, :F]
+            faces_s = jax.vmap(lambda fb, pb: fb[pb])(faces, pf)
+            valid_s = jnp.take_along_axis(face_valid, pf, axis=1)
+            gf_s = _silhouette_grad_pixelwise(faces_s, valid_s, fi, alpha,
+                                              g, image_size, eps, walk=walk)
+            iota = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32),
+                                    pf.shape)
+            inv = jnp.zeros_like(pf).at[
+                jnp.arange(pf.shape[0])[:, None], pf].set(iota)
+            gf = jax.vmap(lambda gs, ib: gs[ib])(gf_s, inv)
+        else:
+            gf = _silhouette_grad_pixelwise(faces, face_valid, fi, alpha, g,
+                                            image_size, eps, walk=walk)
         return gf, _float0_like(face_valid)
 
     sil.defvjp(fwd, bwd)

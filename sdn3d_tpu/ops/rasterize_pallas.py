@@ -44,12 +44,12 @@ TILE_H = int(_os.getenv("SDN3D_RASTER_TILE_H", "64"))
 TILE_W = 128
 # faces streamed per grid step; larger chunks amortize per-grid-step
 # overhead (DMA descriptors + sequencing) at coarser chunk-level culling.
-# v5e sweep on the 16-car 512^2 workload: 128 -> 1024 is ~14% faster.
-FACE_CHUNK = int(_os.getenv("SDN3D_RASTER_FACE_CHUNK", "1024"))
+# v5e sweeps: 128 -> 1024 ~14% faster (v1); 1024 -> 2048 ~15% faster (v3).
+FACE_CHUNK = int(_os.getenv("SDN3D_RASTER_FACE_CHUNK", "2048"))
 GROUP = int(_os.getenv("SDN3D_RASTER_GROUP", "32"))
 PER_FACE_CULL = True      # third culling level (per-face bbox scalar test)
 
-# Kernel version: 1 = scalar face loop over whole pixel tiles (default);
+# Kernel version: 1 = scalar face loop over whole pixel tiles;
 # 2 = 8 faces vectorized along sublanes x 128 pixels along lanes, looping
 # only over each face group's pixel-row span.  v2 looked right on paper
 # (v1 spends a whole 64x128-tile vector pass + ~150 scalar cycles per
@@ -58,8 +58,22 @@ PER_FACE_CULL = True      # third culling level (per-face bbox scalar test)
 # [1, W] dynamic-sublane read-modify-writes of the z-buffer dominate.
 # Kept as a validated (identical hit maps) experiment for future Mosaic
 # versions.
-KERNEL_VERSION = int(_os.getenv("SDN3D_RASTER_KERNEL", "1"))
+# 3 (default) = scalar face loop like v1, but (a) per-face screen math is
+# precomputed edge COEFFICIENTS (e = A*yp + B*xp + C, and 1/z as another
+# linear form — no divisions, no per-pixel vertex arithmetic), and (b) the
+# vector pass covers only ALIGNED 8-row slabs of the face's row span
+# (dynamic but 8-aligned z-buffer RMW) instead of the whole tile, so tiles
+# can be tall (TILE_H3) which slashes per-(tile,group) cull overhead.
+# v5e, 16-car 768^2: v3 215 ms vs v1 480 ms (2.2x); 512^2: 153 vs 308 ms.
+# NOTE v3's reassociated edge math flips ~1e-4 of boundary pixels vs the
+# per-pixel-vertex form (ULP sign changes on tiny edge values) — hit maps
+# are not bit-identical to v1/XLA on large meshes, only near-identical.
+KERNEL_VERSION = int(_os.getenv("SDN3D_RASTER_KERNEL", "3"))
 VGROUP = 8                # faces per sublane-vectorized group (v2)
+# v3 tile height cap: the best measured tile is the WHOLE image column
+# (one tile row) — slab bounding makes tall tiles free and culling
+# overhead scales with tile count.
+TILE_H3 = int(_os.getenv("SDN3D_RASTER_TILE_H3", "1024"))
 
 # Packed face-data rows (SoA f32, [B, N_ROWS, F_pad]):
 #  0..8   x0,y0,rz0,x1,y1,rz1,x2,y2,rz2  (normalized coords; rz = 1/z)
@@ -80,6 +94,18 @@ N_ROWS = 16
 #  row 0: per-face bbox;  row 1: GROUP-level bbox (repeated per group).
 AUX_ROWS = 8
 _BIG = 1e9
+
+
+def _tile_h(version: int, image_size: int) -> int:
+    """Tile height for a kernel version (v3 uses tall tiles — its vector
+    pass is slab-bounded, not tile-bounded): the largest multiple of 8
+    <= TILE_H3 that divides the image."""
+    if version != 3:
+        return TILE_H
+    h = min(TILE_H3, image_size)
+    while image_size % h:
+        h -= 8
+    return h
 
 
 def _morton16(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
@@ -113,6 +139,7 @@ def pack_faces(faces: jnp.ndarray, face_valid: Optional[jnp.ndarray],
 
     if version is None:
         version = KERNEL_VERSION
+    tile_h = _tile_h(version, image_size)
     B, F = faces.shape[:2]
     if face_valid is None:
         face_valid = jnp.ones((B, F), bool)
@@ -147,8 +174,8 @@ def pack_faces(faces: jnp.ndarray, face_valid: Optional[jnp.ndarray],
     # bit (the kernel unpacks the top field with a plain arithmetic shift).
     txmin = jnp.clip(jnp.floor(xmin / TILE_W), 0, 127).astype(jnp.int32)
     txmax = jnp.clip(jnp.floor(xmax / TILE_W) + 1, 0, 127).astype(jnp.int32)
-    tymin = jnp.clip(jnp.floor(ymin / TILE_H), 0, 127).astype(jnp.int32)
-    tymax = jnp.clip(jnp.floor(ymax / TILE_H) + 1, 0, 127).astype(jnp.int32)
+    tymin = jnp.clip(jnp.floor(ymin / tile_h), 0, 127).astype(jnp.int32)
+    tymax = jnp.clip(jnp.floor(ymax / tile_h) + 1, 0, 127).astype(jnp.int32)
 
     # Pad the face axis first so group/chunk reductions see the fillers
     # (empty bboxes).
@@ -175,22 +202,48 @@ def pack_faces(faces: jnp.ndarray, face_valid: Optional[jnp.ndarray],
     # slower on this backend.  z is stored as its reciprocal so the kernel
     # interpolates 1/z with FMAs and a single divide.
     rows = []
-    for v in range(3):
-        rows.append(padded(faces[:, :, v, 0], 0.0))
-        rows.append(padded(faces[:, :, v, 1], 0.0))
-        z = faces[:, :, v, 2]
-        rz = 1.0 / jnp.where(z != 0, z, 1.0)
-        if version >= 2:
-            # v2 has no per-face validity test in the kernel: invalid
-            # faces (backfaces/padding) get rz=0, making their
-            # interpolated 1/z exactly 0 — outside the (1/far, 1/near)
-            # acceptance window.
-            rz = jnp.where(ok > 0, rz, 0.0)
-        rows.append(padded(rz, 0.0))
+    if version == 3:
+        # Edge-coefficient rows: e = A*yp + B*xp + C per edge, and the
+        # interpolated reciprocal depth as another linear form
+        # rz = Az*yp + Bz*xp + Cz (1/(2*area) folded in at pack time) —
+        # the kernel does zero per-pixel vertex arithmetic and no divide.
+        x0, y0 = faces[:, :, 0, 0], faces[:, :, 0, 1]
+        x1, y1 = faces[:, :, 1, 0], faces[:, :, 1, 1]
+        x2, y2 = faces[:, :, 2, 0], faces[:, :, 2, 1]
+        rz_v = []
+        for v in range(3):
+            z = faces[:, :, v, 2]
+            # invalid faces get rz=0 -> interpolated 1/z == 0, outside the
+            # (1/far, 1/near) acceptance window (same trick as v2).
+            rz_v.append(jnp.where(ok > 0, 1.0 / jnp.where(z != 0, z, 1.0),
+                                  0.0))
+        A01, B01, C01 = x1 - x0, -(y1 - y0), x0 * y1 - x1 * y0
+        A12, B12, C12 = x2 - x1, -(y2 - y1), x1 * y2 - x2 * y1
+        A20, B20, C20 = x0 - x2, -(y0 - y2), x2 * y0 - x0 * y2
+        s = C01 + C12 + C20           # = e01+e12+e20, constant per face
+        rs = 1.0 / jnp.where(s != 0, s, 1.0)
+        Az = (A12 * rz_v[0] + A20 * rz_v[1] + A01 * rz_v[2]) * rs
+        Bz = (B12 * rz_v[0] + B20 * rz_v[1] + B01 * rz_v[2]) * rs
+        Cz = (C12 * rz_v[0] + C20 * rz_v[1] + C01 * rz_v[2]) * rs
+        for r in (A01, B01, C01, A12, B12, C12, A20, B20, C20, Az, Bz, Cz):
+            rows.append(padded(r, 0.0))
+    else:
+        for v in range(3):
+            rows.append(padded(faces[:, :, v, 0], 0.0))
+            rows.append(padded(faces[:, :, v, 1], 0.0))
+            z = faces[:, :, v, 2]
+            rz = 1.0 / jnp.where(z != 0, z, 1.0)
+            if version >= 2:
+                # v2 has no per-face validity test in the kernel: invalid
+                # faces (backfaces/padding) get rz=0, making their
+                # interpolated 1/z exactly 0 — outside the (1/far, 1/near)
+                # acceptance window.
+                rz = jnp.where(ok > 0, rz, 0.0)
+            rows.append(padded(rz, 0.0))
 
     zero_i = jnp.zeros((B, F + pad), jnp.int32)
 
-    if version >= 2:
+    if version == 2:
         g = VGROUP
         g_txmin = windowed(txmin, True, g)
         g_txmax = windowed(txmax, False, g)
@@ -219,6 +272,28 @@ def pack_faces(faces: jnp.ndarray, face_valid: Optional[jnp.ndarray],
               | (jnp.repeat(g_pymax, g, axis=1) << 16))]
             + [zero_i] * (AUX_ROWS - 3), axis=1)       # [B, AUX_ROWS, F_pad]
         gpc = FACE_CHUNK // g
+    elif version == 3:
+        g_txmin = windowed(txmin, True, GROUP)
+        g_txmax = windowed(txmax, False, GROUP)
+        g_tymin = windowed(tymin, True, GROUP)
+        g_tymax = windowed(tymax, False, GROUP)
+        # Per-face pixel-precision row span for the slab loop (16 bits
+        # each; pymax is an exclusive end; padding collapses to empty).
+        pymin = jnp.clip(jnp.floor(ymin), 0, 32767).astype(jnp.int32)
+        pymax = jnp.clip(jnp.floor(ymax) + 1, 0, 32767).astype(jnp.int32)
+        pymin = padded(pymin, 32767)
+        pymax = padded(pymax, 0)
+        rows += [jnp.zeros((B, F + pad), _f32)] * (N_ROWS - 12)
+        packed = jnp.stack(rows, axis=1)               # [B, N_ROWS, F_pad]
+        aux = jnp.stack(
+            [pack_bbox(txmin, txmax, tymin, tymax),
+             pack_bbox(jnp.repeat(g_txmin, GROUP, axis=1),
+                       jnp.repeat(g_txmax, GROUP, axis=1),
+                       jnp.repeat(g_tymin, GROUP, axis=1),
+                       jnp.repeat(g_tymax, GROUP, axis=1)),
+             pymin | (pymax << 16)]
+            + [zero_i] * (AUX_ROWS - 3), axis=1)       # [B, AUX_ROWS, F_pad]
+        gpc = FACE_CHUNK // GROUP
     else:
         g_txmin = windowed(txmin, True, GROUP)
         g_txmax = windowed(txmax, False, GROUP)
@@ -422,6 +497,101 @@ def _raster_kernel_v2(bbox_ref, aux_ref, facevm_ref, fi_ref, depth_ref, *,
         jax.lax.fori_loop(0, FACE_CHUNK // VGROUP, group_body, 0)
 
 
+def _raster_kernel_v3(bbox_ref, aux_ref, face_ref, fi_ref, depth_ref, *,
+                      image_size, near, far, tile_h):
+    """Scalar face loop, slab-bounded vector pass.
+
+    Per face: ~14 SMEM scalar reads (bbox, row span, 12 edge/depth
+    coefficients), then for each ALIGNED 8-row slab overlapping the face's
+    row span: edge tests + reciprocal-depth interpolation as pure FMAs on
+    [8, TILE_W] vregs and one 8-aligned dynamic z-buffer RMW.  The depth
+    buffer holds 1/z (strict `>` == the reference's strict `<` on z); the
+    wrapper inverts once at the end."""
+    ty = pl.program_id(1)
+    tx = pl.program_id(2)
+    fc = pl.program_id(3)
+
+    @pl.when(fc == 0)
+    def _init():
+        fi_ref[0] = jnp.full((tile_h, TILE_W), -1, jnp.int32)
+        depth_ref[0] = jnp.full((tile_h, TILE_W), 1.0 / far, _f32)
+
+    def bbox_hit(v):
+        return (((v & 0xFF) <= tx) & (((v >> 8) & 0xFF) > tx)
+                & (((v >> 16) & 0xFF) <= ty) & ((v >> 24) > ty))
+
+    @pl.when(bbox_hit(bbox_ref[0, 0, fc]))
+    def _body():
+        tile_y0 = ty * tile_h
+        tile_x0 = (tx * TILE_W).astype(_f32)
+        isz = jnp.float32(image_size)
+        xi = jax.lax.broadcasted_iota(
+            jnp.int32, (1, TILE_W), 1).astype(_f32) + tile_x0
+        xp = (2.0 * xi + 1.0 - isz) / isz                  # [1, W]
+        i8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+        rfar = jnp.float32(1.0 / far)
+        rnear = jnp.float32(1.0 / near)
+
+        def face_body(j, carry):
+            @pl.when(bbox_hit(aux_ref[0, 0, j]) if PER_FACE_CULL
+                     else (j >= 0))
+            def _face():
+                a01 = face_ref[0, 0, j]
+                b01 = face_ref[0, 1, j]
+                c01 = face_ref[0, 2, j]
+                a12 = face_ref[0, 3, j]
+                b12 = face_ref[0, 4, j]
+                c12 = face_ref[0, 5, j]
+                a20 = face_ref[0, 6, j]
+                b20 = face_ref[0, 7, j]
+                c20 = face_ref[0, 8, j]
+                az = face_ref[0, 9, j]
+                bz = face_ref[0, 10, j]
+                cz = face_ref[0, 11, j]
+                # x-dependent parts, hoisted out of the slab loop
+                ex01 = b01 * xp                            # [1, W]
+                ex12 = b12 * xp
+                ex20 = b20 * xp
+                exz = bz * xp
+                gidx = jnp.full((8, TILE_W), fc * FACE_CHUNK + j, jnp.int32)
+
+                yb = aux_ref[0, 2, j]
+                r0 = jnp.maximum((yb & 0xFFFF) - tile_y0, 0)
+                r1 = jnp.minimum((yb >> 16) - tile_y0, tile_h)
+
+                def slab_body(s, c2):
+                    o = s * 8
+                    yif = (i8 + (tile_y0 + o)).astype(_f32)    # [8, 1]
+                    yp = (2.0 * yif + 1.0 - isz) / isz
+                    e01 = (a01 * yp + c01) + ex01              # [8, W]
+                    e12 = (a12 * yp + c12) + ex12
+                    e20 = (a20 * yp + c20) + ex20
+                    rz = (az * yp + cz) + exz
+                    inside = (e01 >= 0) & (e12 >= 0) & (e20 >= 0)
+                    dcur = depth_ref[0, pl.ds(o, 8), :]
+                    take = (inside & (rz > rfar) & (rz < rnear)
+                            & (rz > dcur))
+                    depth_ref[0, pl.ds(o, 8), :] = jnp.where(take, rz, dcur)
+                    icur = fi_ref[0, pl.ds(o, 8), :]
+                    fi_ref[0, pl.ds(o, 8), :] = jnp.where(take, gidx, icur)
+                    return c2
+
+                jax.lax.fori_loop(r0 // 8, (r1 + 7) // 8, slab_body, 0)
+
+            return carry
+
+        def group_body(g, carry):
+            j0 = g * GROUP
+
+            def scan_group():
+                return jax.lax.fori_loop(j0, j0 + GROUP, face_body, carry)
+
+            return jax.lax.cond(bbox_hit(aux_ref[0, 1, j0]),
+                                scan_group, lambda: carry)
+
+        jax.lax.fori_loop(0, FACE_CHUNK // GROUP, group_body, 0)
+
+
 @functools.partial(jax.jit, static_argnames=("image_size", "near", "far",
                                              "interpret", "version"))
 def rasterize_face_index_pallas(
@@ -446,21 +616,28 @@ def rasterize_face_index_pallas(
     KERNEL_VERSION changes)."""
     if version is None:
         version = KERNEL_VERSION
-    if version >= 2:
+    if version == 2:
         B, Fp, _ = packed.shape
     else:
         B, _, Fp = packed.shape
+    tile_h = _tile_h(version, image_size)
     assert Fp % FACE_CHUNK == 0
-    assert image_size % TILE_W == 0 and image_size % TILE_H == 0
+    assert image_size % TILE_W == 0 and image_size % tile_h == 0
     n_chunks = Fp // FACE_CHUNK
-    grid = (B, image_size // TILE_H, image_size // TILE_W, n_chunks)
+    grid = (B, image_size // tile_h, image_size // TILE_W, n_chunks)
 
-    if version >= 2:
+    if version == 2:
         kernel = functools.partial(_raster_kernel_v2, image_size=image_size,
                                    near=near, far=far)
         packed_spec = pl.BlockSpec((1, FACE_CHUNK, 16),
                                    lambda b, ty, tx, fc: (b, fc, 0),
                                    memory_space=pltpu.VMEM)
+    elif version == 3:
+        kernel = functools.partial(_raster_kernel_v3, image_size=image_size,
+                                   near=near, far=far, tile_h=tile_h)
+        packed_spec = pl.BlockSpec((1, N_ROWS, FACE_CHUNK),
+                                   lambda b, ty, tx, fc: (b, 0, fc),
+                                   memory_space=pltpu.SMEM)
     else:
         kernel = functools.partial(_raster_kernel, image_size=image_size,
                                    near=near, far=far)
@@ -481,10 +658,10 @@ def rasterize_face_index_pallas(
             packed_spec,
         ],
         out_specs=(
-            pl.BlockSpec((1, TILE_H, TILE_W),
+            pl.BlockSpec((1, tile_h, TILE_W),
                          lambda b, ty, tx, fc: (b, ty, tx),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_H, TILE_W),
+            pl.BlockSpec((1, tile_h, TILE_W),
                          lambda b, ty, tx, fc: (b, ty, tx),
                          memory_space=pltpu.VMEM),
         ),
@@ -495,7 +672,7 @@ def rasterize_face_index_pallas(
         interpret=interpret,
     )(chunk_bbox, aux, packed)
     if version >= 2:
-        # the v2 kernel's buffer holds 1/z
+        # the v2/v3 kernels' buffers hold 1/z
         depth = jnp.where(fi >= 0, 1.0 / jnp.maximum(depth, 1e-30),
                           jnp.float32(far))
     return fi, depth
@@ -533,3 +710,183 @@ def recompute_pixel_attributes(faces: jnp.ndarray, face_index: jnp.ndarray,
     inv_px = jnp.where(hit[..., None, None], inv_px, 0.0)
     hw = (B, image_size, image_size)
     return w.reshape(hw + (3,)), inv_px.reshape(hw + (3, 3))
+
+
+# ---------------------------------------------------------------------------
+# Backward: pixel->face segmented reduction (one-hot matmul on the MXU)
+# ---------------------------------------------------------------------------
+#
+# The silhouette backward's per-pixel contributions (rasterize.py
+# _silhouette_grad_pixelwise) must be reduced onto their pixel's face:
+# grad_face[f, :] = sum_{p: face_index[p] == f} acc[p, :].  XLA lowers that
+# to a row-scatter running ~77M rows/s on v5e (~730 ms for 6 components at
+# 768^2 x 16).  Here the reduction is a Pallas kernel instead: for every
+# 128-face group (original face order), build the one-hot (face x pixel)
+# matrix from the face-index map over the group's bbox and contract it with
+# the 8-plane acc maps on the MXU.  Group/chunk bboxes cull empty work.
+
+SEG_GROUP = 128            # faces per one-hot matmul
+SEG_CHUNK = 2048           # faces per output block
+
+
+def pack_seg_aux(faces: jnp.ndarray, image_size: int,
+                 ok: Optional[jnp.ndarray] = None
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Culling aux for segment_face_grads_pallas (face order = whatever
+    order the face-index map uses; pass Morton-SORTED faces for compact
+    groups — original-order OBJ groups span ~25-50% of the object and
+    measured SLOWER than the XLA scatter).
+
+    faces [B, F, 3, 3] (projected, normalized coords) ->
+      aux [B, 8, F_pad] int32: row 0 = per-SEG_GROUP packed x-tile bbox
+        (byte0 txmin, byte1 txmax+1; y bytes unused=always hit), row 1 =
+        per-SEG_GROUP pymin | pymax_excl << 16;
+      chunk_bbox [B, 4, n_chunks] int32 (row 0 packed x-tile bbox).
+    `ok` [B, F]: False faces get empty boxes (they never appear in the
+    face-index map, so this is purely a culling win — with Morton order
+    the invalid tail drops out as whole chunks).
+    """
+    B, F = faces.shape[:2]
+    px = 0.5 * (faces[..., 0] * image_size + image_size - 1)
+    py = 0.5 * (faces[..., 1] * image_size + image_size - 1)
+    xmin, xmax = jnp.min(px, -1), jnp.max(px, -1)
+    ymin, ymax = jnp.min(py, -1), jnp.max(py, -1)
+    if ok is not None:
+        big = jnp.float32(_BIG)
+        xmin = jnp.where(ok, xmin, big)
+        xmax = jnp.where(ok, xmax, -big)
+        ymin = jnp.where(ok, ymin, big)
+        ymax = jnp.where(ok, ymax, -big)
+
+    txmin = jnp.clip(jnp.floor(xmin / TILE_W), 0, 127).astype(jnp.int32)
+    txmax = jnp.clip(jnp.floor(xmax / TILE_W) + 1, 0, 127).astype(jnp.int32)
+    pymin = jnp.clip(jnp.floor(ymin), 0, 32767).astype(jnp.int32)
+    pymax = jnp.clip(jnp.floor(ymax) + 1, 0, 32767).astype(jnp.int32)
+
+    pad = (-F) % SEG_CHUNK
+
+    def padded(row, fill):
+        return jnp.pad(row, ((0, 0), (0, pad)), constant_values=fill)
+
+    txmin = padded(txmin, 127)
+    txmax = padded(txmax, 0)
+    pymin = padded(pymin, 32767)
+    pymax = padded(pymax, 0)
+
+    def windowed(row, op_min, window):
+        init = jnp.int32(32767 if op_min else 0)
+        fn = jax.lax.min if op_min else jax.lax.max
+        return jax.lax.reduce_window(row, init, fn,
+                                     (1, window), (1, window), "VALID")
+
+    g_txmin = windowed(txmin, True, SEG_GROUP)
+    g_txmax = windowed(txmax, False, SEG_GROUP)
+    g_pymin = windowed(pymin, True, SEG_GROUP)
+    g_pymax = windowed(pymax, False, SEG_GROUP)
+
+    def rep(a):
+        return jnp.repeat(a, SEG_GROUP, axis=1)
+
+    zero_i = jnp.zeros((B, F + pad), jnp.int32)
+    aux = jnp.stack(
+        [rep(g_txmin | (g_txmax << 8)),
+         rep(g_pymin | (g_pymax << 16))] + [zero_i] * 6, axis=1)
+
+    gpc = SEG_CHUNK // SEG_GROUP
+    chunk_bbox = jnp.stack(
+        [windowed(g_txmin, True, gpc) | (windowed(g_txmax, False, gpc) << 8)]
+        + [jnp.zeros((B, (F + pad) // SEG_CHUNK), jnp.int32)] * 3, axis=1)
+    return aux, chunk_bbox
+
+
+def _seg_kernel(bbox_ref, aux_ref, fi_ref, acc_ref, out_ref, *, image_size):
+    # grid (B, n_chunks, n_xt): tx MUST be the fastest axis so each output
+    # block (b, fc) is visited in ONE contiguous run — Pallas write-back
+    # of a revisited-after-leaving block silently loses the accumulation
+    # (observed on hardware; interpret mode does not model it).
+    fc = pl.program_id(1)
+    tx = pl.program_id(2)
+
+    @pl.when(tx == 0)
+    def _init():
+        out_ref[0] = jnp.zeros((SEG_CHUNK, 8), jnp.float32)
+
+    def x_hit(v):
+        return ((v & 0xFF) <= tx) & (((v >> 8) & 0xFF) > tx)
+
+    @pl.when(x_hit(bbox_ref[0, 0, fc]))
+    def _chunk():
+        def group_body(g, carry):
+            j0 = g * SEG_GROUP
+
+            @pl.when(x_hit(aux_ref[0, 0, j0]))
+            def _group():
+                yb = aux_ref[0, 1, j0]
+                r0 = yb & 0xFFFF
+                r1 = jnp.minimum(yb >> 16, image_size)
+                base = fc * SEG_CHUNK + j0
+                fids = (jax.lax.broadcasted_iota(
+                    jnp.int32, (SEG_GROUP, 1), 0) + base)
+
+                def slab_body(s, C):
+                    o = s * 8
+                    fi8 = fi_ref[0, pl.ds(o, 8), :]          # [8, W]
+                    a8 = acc_ref[0, :, pl.ds(o, 8), :]       # [8c, 8, W]
+                    for r in range(8):
+                        row = fi8[r:r + 1, :]                 # [1, W]
+                        onehot = (row == fids).astype(jnp.float32)
+                        C = C + jax.lax.dot_general(
+                            onehot, a8[:, r, :],
+                            (((1,), (1,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST)
+                    return C
+
+                C = jax.lax.fori_loop(
+                    r0 // 8, (r1 + 7) // 8, slab_body,
+                    jnp.zeros((SEG_GROUP, 8), jnp.float32))
+                cur = out_ref[0, pl.ds(j0, SEG_GROUP), :]
+                out_ref[0, pl.ds(j0, SEG_GROUP), :] = cur + C
+
+            return carry
+
+        jax.lax.fori_loop(0, SEG_CHUNK // SEG_GROUP, group_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("image_size", "interpret"))
+def segment_face_grads_pallas(
+    acc8: jnp.ndarray,          # [B, 8, H, W] f32 (planes 6,7 zero)
+    face_index: jnp.ndarray,    # [B, H, W] int32 (original face ids)
+    aux: jnp.ndarray,           # [B, 8, F_pad] int32 (pack_seg_aux)
+    chunk_bbox: jnp.ndarray,    # [B, 4, n_chunks] int32
+    image_size: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """grad_face [B, F_pad, 8]: per-face sums of acc8 over the pixels whose
+    face_index equals the face."""
+    B = acc8.shape[0]
+    Fp = aux.shape[2]
+    n_chunks = Fp // SEG_CHUNK
+    n_xt = image_size // TILE_W
+    grid = (B, n_chunks, n_xt)
+
+    return pl.pallas_call(
+        functools.partial(_seg_kernel, image_size=image_size),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 4, n_chunks), lambda b, fc, tx: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, SEG_CHUNK), lambda b, fc, tx: (b, 0, fc),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, image_size, TILE_W),
+                         lambda b, fc, tx: (b, 0, tx),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, image_size, TILE_W),
+                         lambda b, fc, tx: (b, 0, 0, tx),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, SEG_CHUNK, 8),
+                               lambda b, fc, tx: (b, fc, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Fp, 8), jnp.float32),
+        interpret=interpret,
+    )(chunk_bbox, aux, face_index, acc8)

@@ -51,6 +51,7 @@ def render(
     grad_walk: int = 0,
     textures: Optional[jnp.ndarray] = None,
     light_kwargs: Optional[dict] = None,
+    vertex_adjacency: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Render [B, V, 3] vertices + [B, F, 3] int faces to 2.5D maps.
 
@@ -87,7 +88,13 @@ def render(
     vertices = camera.look(vertices, eye, direction, up)
 
     vertices = camera.perspective_divide(vertices, viewing_angle)
-    face_verts = camera.vertices_to_faces(vertices, faces)
+    if vertex_adjacency is not None:
+        # gather-based VJP (see camera.vertices_to_faces_adj); `faces` is
+        # the filled list when fill_back, adjacency covers the front half.
+        face_verts = camera.vertices_to_faces_adj(
+            vertices, faces, vertex_adjacency, fill_back)
+    else:
+        face_verts = camera.vertices_to_faces(vertices, faces)
 
     if render_type == RenderType.Silhouette:
         a = R.rasterize_silhouettes(face_verts, face_valid, image_size,

@@ -142,3 +142,57 @@ def test_mesh_bank_padding():
     assert bank.faces.shape == (2, 2, 3)
     assert bank.face_valid[0].sum() == 2 and bank.face_valid[1].sum() == 1
     assert bank.ffd_B.shape[:2] == (2, 10)
+
+
+def test_vertices_to_faces_adj_vjp_matches_scatter():
+    """The gather-based VJP (camera.vertices_to_faces_adj + static
+    adjacency) must produce the same vertex gradients as autodiff of the
+    plain gather (whose transpose is a scatter-add), with and without
+    fill_back."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdn3d_tpu.data.synthetic import make_sphere_mesh
+    from sdn3d_tpu.geometry import camera
+    from sdn3d_tpu.geometry.assets import _vertex_adjacency
+
+    verts_np, faces_np = make_sphere_mesh(6, 8)
+    B, V, F = 2, verts_np.shape[0], faces_np.shape[0]
+    rng = np.random.RandomState(0)
+    verts = jnp.asarray(np.stack([verts_np, verts_np + 0.1]))
+    faces = jnp.asarray(np.repeat(faces_np[None], B, 0))
+    adj = jnp.asarray(
+        np.repeat(_vertex_adjacency(faces_np.astype(np.int64), V)[None],
+                  B, 0))
+    cot = jnp.asarray(rng.randn(B, F, 3, 3).astype(np.float32))
+    cot2 = jnp.concatenate([cot, cot[:, :, ::-1]], axis=1)
+
+    def loss_ref(v, f):
+        return (camera.vertices_to_faces(v, f) * cot).sum()
+
+    def loss_adj(v, f):
+        return (camera.vertices_to_faces_adj(v, f, adj) * cot).sum()
+
+    g_ref = jax.grad(loss_ref)(verts, faces)
+    g_adj = jax.grad(loss_adj)(verts, faces)
+    np.testing.assert_allclose(np.asarray(g_adj), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-6)
+
+    faces2 = jnp.concatenate([faces, faces[:, :, ::-1]], axis=1)
+
+    def loss_ref2(v):
+        return (camera.vertices_to_faces(v, faces2) * cot2).sum()
+
+    def loss_adj2(v):
+        return (camera.vertices_to_faces_adj(v, faces2, adj,
+                                             fill_back=True) * cot2).sum()
+
+    g_ref2 = jax.grad(loss_ref2)(verts)
+    g_adj2 = jax.grad(loss_adj2)(verts)
+    np.testing.assert_allclose(np.asarray(g_adj2), np.asarray(g_ref2),
+                               rtol=1e-5, atol=1e-6)
+
+    # forward values identical
+    np.testing.assert_array_equal(
+        np.asarray(camera.vertices_to_faces_adj(verts, faces2, adj, True)),
+        np.asarray(camera.vertices_to_faces(verts, faces2)))

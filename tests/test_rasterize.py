@@ -174,7 +174,7 @@ def test_face_colors_render():
     assert np.allclose(rgb[0, :, 0, 0], 1.0)
 
 
-@pytest.mark.parametrize("version", [1, 2])
+@pytest.mark.parametrize("version", [1, 2, 3])
 def test_pallas_kernel_matches_xla(rng, version, monkeypatch):
     """Both tiled Pallas kernels (interpret mode on CPU) must produce the
     same face-index/weight/depth maps as the portable XLA scan."""
@@ -235,3 +235,31 @@ def test_silhouette_backward_windowed_walk(rng):
     num = float(jnp.sum(jnp.abs(g_win - g_exact)))
     den = float(jnp.sum(jnp.abs(g_exact))) + 1e-8
     assert num / den < 0.5, num / den
+
+
+def test_segment_face_grads_pallas_matches_segment_sum(rng):
+    """The one-hot-matmul pixel->face reduction kernel (interpret mode)
+    must equal jax.ops.segment_sum over the face-index map."""
+    from sdn3d_tpu.ops import rasterize_pallas as RP
+
+    B, F, isz = 2, 53, 128
+    faces = random_faces(rng, batch=B, num_faces=F, z_range=(1.5, 6.0))
+    fi, _, _, _ = R.rasterize_face_maps(
+        jnp.asarray(faces), None, isz, impl="xla")
+    acc8 = jnp.asarray(rng.randn(B, 8, isz, isz).astype(np.float32))
+    acc8 = acc8.at[:, 6:].set(0.0)
+
+    aux, cb = RP.pack_seg_aux(jnp.asarray(faces), isz)
+    out = RP.segment_face_grads_pallas(acc8, fi, aux, cb, isz,
+                                       interpret=True)
+
+    hit = np.asarray(fi) >= 0
+    fi_c = np.where(hit, np.asarray(fi), 0)
+    seg = (fi_c + np.arange(B)[:, None, None] * F).reshape(-1)
+    for p in range(6):
+        vals = np.where(hit, np.asarray(acc8)[:, p], 0.0).reshape(-1)
+        ref = np.zeros(B * F, np.float32)
+        np.add.at(ref, seg, vals)
+        got = np.asarray(out)[:, :F, p].reshape(-1)
+        # summation order differs (per-row MXU dots vs np.add.at)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
