@@ -58,17 +58,17 @@ def main():
         return render_targets(vcam, faces_idx,
                               ("silhouette", "normal", "depth"),
                               image_size=IMG)
-    timeit("render_targets s+n+d", jax.jit(full), vcam)
+    timeit("render_targets s+n+d", jax.jit(full), vcam, faces_idx)
 
     def sil_only(vcam, faces_idx):
         return render_targets(vcam, faces_idx, ("silhouette",),
                               image_size=IMG)
-    timeit("render_targets sil", jax.jit(sil_only), vcam)
+    timeit("render_targets sil", jax.jit(sil_only), vcam, faces_idx)
 
     def sil_dep(vcam, faces_idx):
         return render_targets(vcam, faces_idx, ("silhouette", "depth"),
                               image_size=IMG)
-    timeit("render_targets sil+dep", jax.jit(sil_dep), vcam)
+    timeit("render_targets sil+dep", jax.jit(sil_dep), vcam, faces_idx)
 
     # raw maps (no finish/unperm)
     size = IMG * 2

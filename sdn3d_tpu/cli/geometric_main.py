@@ -27,6 +27,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--render_size", type=int, default=384)
     p.add_argument("--ckpt_dir", default=None)
     p.add_argument("--maskrcnn_ckpt", default=None)
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="conv compute dtype for Mask R-CNN + derenderer")
     p.add_argument("--shapenet_root",
                    default=os.environ.get("SHAPENET_ROOT_DIR"))
     p.add_argument("--edit_json", default=None)
@@ -53,7 +56,9 @@ def load_derenderer(args):
     from sdn3d_tpu.geometry.assets import load_shapenet_bank
     from sdn3d_tpu.models.derenderer import Derenderer, DeviceMeshBank
 
-    model = Derenderer(num_classes=8)
+    import jax.numpy as _jnp
+    model = Derenderer(num_classes=8, dtype=_jnp.dtype(
+        getattr(args, "compute_dtype", "float32")))
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, args.image_size,
                                           args.image_size, 3)),
@@ -79,7 +84,9 @@ def detect_objects(args, image_rgb: np.ndarray):
     from sdn3d_tpu.core.checkpoint import restore_checkpoint
     from sdn3d_tpu.pipelines.detect import MaskRCNNDetector
 
-    det = MaskRCNNDetector()
+    from sdn3d_tpu.models.maskrcnn import MaskRCNNConfig
+    det = MaskRCNNDetector(MaskRCNNConfig(
+        compute_dtype=getattr(args, "compute_dtype", "float32")))
     variables = det.init(jax.random.PRNGKey(0))
     if args.maskrcnn_ckpt:
         variables, _ = restore_checkpoint(args.maskrcnn_ckpt, variables)

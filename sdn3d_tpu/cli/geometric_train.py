@@ -29,6 +29,8 @@ def build_argparser():
     p.add_argument("--num_iters", type=int, default=50)
     p.add_argument("--save_every", type=int, default=1000)
     p.add_argument("--ckpt_dir", default="./derender_ckpt")
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"])
     p.add_argument("--shapenet_root",
                    default=os.environ.get("SHAPENET_ROOT_DIR"))
     p.add_argument("--synthetic", action="store_true",
@@ -66,7 +68,9 @@ def main(argv=None):
         bank_host = load_shapenet_bank(args.shapenet_root)
     bank = DeviceMeshBank.from_host(bank_host)
 
-    model = Derenderer(num_classes=8)
+    import jax.numpy as jnp
+    model = Derenderer(num_classes=8,
+                       dtype=jnp.dtype(args.compute_dtype))
     trainer = DerenderTrainer(
         model=model, bank=bank, mode=mode, image_size=args.image_size,
         render_size=args.render_size, mask_weight=args.mask_weight,

@@ -23,6 +23,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--ckpt_dir", default=None)
     p.add_argument("--result", default="./semantic_out")
     p.add_argument("--num_class", type=int, default=14)
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"])
     p.add_argument("--scales", type=int, nargs="+",
                    default=[100, 150, 200, 300, 375])
     return p
@@ -35,7 +37,9 @@ def load_model(args):
     from sdn3d_tpu.core.checkpoint import restore_checkpoint
     from sdn3d_tpu.models.semantic import SemanticModel
 
-    model = SemanticModel(num_class=args.num_class)
+    import jax.numpy as jnp
+    model = SemanticModel(num_class=args.num_class,
+                          dtype=jnp.dtype(args.compute_dtype))
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 64, 64, 3)), train=False)
     if args.ckpt_dir:

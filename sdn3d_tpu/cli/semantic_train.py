@@ -20,6 +20,8 @@ def build_argparser():
     p.add_argument("--data_root", default=os.environ.get("VKITTI_ROOT_DIR"))
     p.add_argument("--ckpt_dir", default="./semantic_ckpt")
     p.add_argument("--num_class", type=int, default=14)
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"])
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--crop_size", type=int, default=256)
     p.add_argument("--lr_encoder", type=float, default=2e-2)
@@ -86,7 +88,9 @@ def main(argv=None):
 
     args = build_argparser().parse_args(argv)
     rng = np.random.RandomState(0)
-    model = SemanticModel(num_class=args.num_class)
+    import jax.numpy as jnp
+    model = SemanticModel(num_class=args.num_class,
+                          dtype=jnp.dtype(args.compute_dtype))
     trainer = SemanticTrainer(model, lr_encoder=args.lr_encoder,
                               lr_decoder=args.lr_decoder,
                               max_iters=args.max_iters)

@@ -15,6 +15,8 @@ def build_argparser():
     p.add_argument("--segm_dir", default=None)
     p.add_argument("--geo_dir", default=None)
     p.add_argument("--ckpt_dir", default="./textural_ckpt")
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"])
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--fine_width", type=int, default=624)
     p.add_argument("--fine_height", type=int, default=192)
@@ -60,7 +62,8 @@ def main(argv=None):
                              n_layers_d=2, use_vgg_loss=not args.no_vgg,
                              max_instances=8, lr=args.lr)
     else:
-        cfg = TexturalConfig(use_vgg_loss=not args.no_vgg, lr=args.lr)
+        cfg = TexturalConfig(use_vgg_loss=not args.no_vgg, lr=args.lr,
+                             compute_dtype=args.compute_dtype)
     trainer = TexturalTrainer(cfg)
     rng = np.random.RandomState(0)
 

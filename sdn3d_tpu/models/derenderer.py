@@ -54,6 +54,9 @@ class Derenderer(nn.Module):
     num_classes: int = 8
     grid_size: int = 4
     hidden_size: int = 256
+    # computation dtype for the resnet18 trunk + fc head (bfloat16 ~5x
+    # faster convs on v5e; heads' outputs return float32)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, mroi_norms: jnp.ndarray,
@@ -69,8 +72,8 @@ class Derenderer(nn.Module):
             "_class_probs": self.num_classes,
             "_ffd_coeffs": self.num_classes * g3 * 3,
         }
-        x = ResNetClassifier(num_outputs=self.hidden_size, name="net")(
-            images, train=train)
+        x = ResNetClassifier(num_outputs=self.hidden_size, dtype=self.dtype,
+                             name="net")(images, train=train)
         x = nn.relu(x)
         x = jnp.concatenate([x, mroi_norms, droi_norms], axis=1)
         x = nn.relu(nn.Dense(self.hidden_size, name="fc1")(x))

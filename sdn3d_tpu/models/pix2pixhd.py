@@ -14,7 +14,7 @@ n_downsample_E=4, feat_num=5.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Any, List, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -22,10 +22,11 @@ import jax.numpy as jnp
 
 
 def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
-    """InstanceNorm2d(affine=False) on NHWC."""
-    mean = x.mean(axis=(1, 2), keepdims=True)
-    var = x.var(axis=(1, 2), keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    """InstanceNorm2d(affine=False) on NHWC; statistics always float32."""
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=(1, 2), keepdims=True)
+    var = xf.var(axis=(1, 2), keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 def reflect_pad(x: jnp.ndarray, p: int) -> jnp.ndarray:
@@ -46,14 +47,15 @@ def avg_pool_3s2_nopad_count(x: jnp.ndarray) -> jnp.ndarray:
 class ResnetBlockG(nn.Module):
     """Generator residual block, reflect padding (networks.py:245-283)."""
     dim: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         y = reflect_pad(x, 1)
-        y = nn.Conv(self.dim, (3, 3), padding="VALID", name="conv1")(y)
+        y = nn.Conv(self.dim, (3, 3), padding="VALID", dtype=self.dtype, name="conv1")(y)
         y = nn.relu(instance_norm(y))
         y = reflect_pad(y, 1)
-        y = nn.Conv(self.dim, (3, 3), padding="VALID", name="conv2")(y)
+        y = nn.Conv(self.dim, (3, 3), padding="VALID", dtype=self.dtype, name="conv2")(y)
         y = instance_norm(y)
         return x + y
 
@@ -70,33 +72,35 @@ class GlobalGenerator(nn.Module):
     n_downsampling: int = 4
     n_blocks: int = 9
     skip_final: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         y = reflect_pad(x, 3)
-        y = nn.Conv(self.ngf, (7, 7), padding="VALID", name="conv_in")(y)
+        y = nn.Conv(self.ngf, (7, 7), padding="VALID", dtype=self.dtype, name="conv_in")(y)
         y = nn.relu(instance_norm(y))
         for i in range(self.n_downsampling):
             mult = 2 ** i
             y = nn.Conv(self.ngf * mult * 2, (3, 3), strides=(2, 2),
-                        padding=[(1, 1), (1, 1)], name=f"down{i}")(y)
+                        padding=[(1, 1), (1, 1)], dtype=self.dtype, name=f"down{i}")(y)
             y = nn.relu(instance_norm(y))
         mult = 2 ** self.n_downsampling
         for i in range(self.n_blocks):
-            y = ResnetBlockG(self.ngf * mult, name=f"res{i}")(y)
+            y = ResnetBlockG(self.ngf * mult, dtype=self.dtype, name=f"res{i}")(y)
         for i in range(self.n_downsampling):
             mult = 2 ** (self.n_downsampling - i)
             # torch ConvTranspose2d(3, stride 2, pad 1, output_pad 1)
             # == lax.conv_transpose(transpose_kernel=True, padding (1, 2)).
             y = nn.ConvTranspose(self.ngf * mult // 2, (3, 3), strides=(2, 2),
                                  padding=((1, 2), (1, 2)),
-                                 transpose_kernel=True, name=f"up{i}")(y)
+                                 transpose_kernel=True, dtype=self.dtype, name=f"up{i}")(y)
             y = nn.relu(instance_norm(y))
         if self.skip_final:
             return y
         y = reflect_pad(y, 3)
-        y = nn.Conv(self.output_nc, (7, 7), padding="VALID", name="conv_out")(y)
-        return jnp.tanh(y)
+        y = nn.Conv(self.output_nc, (7, 7), padding="VALID",
+                    dtype=self.dtype, name="conv_out")(y)
+        return jnp.tanh(y.astype(jnp.float32))
 
 
 class LocalEnhancer(nn.Module):
@@ -111,6 +115,7 @@ class LocalEnhancer(nn.Module):
     n_blocks_global: int = 9
     n_local_enhancers: int = 1
     n_blocks_local: int = 3
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -121,30 +126,31 @@ class LocalEnhancer(nn.Module):
         out = GlobalGenerator(
             self.output_nc, self.ngf * 2 ** self.n_local_enhancers,
             self.n_downsample_global, self.n_blocks_global,
-            skip_final=True, name="global")(pyramid[-1])
+            skip_final=True, dtype=self.dtype, name="global")(pyramid[-1])
 
         for n in range(1, self.n_local_enhancers + 1):
             ngf_g = self.ngf * 2 ** (self.n_local_enhancers - n)
             xi = pyramid[self.n_local_enhancers - n]
             y = reflect_pad(xi, 3)
             y = nn.Conv(ngf_g, (7, 7), padding="VALID",
-                        name=f"enh{n}_conv_in")(y)
+                        dtype=self.dtype, name=f"enh{n}_conv_in")(y)
             y = nn.relu(instance_norm(y))
             y = nn.Conv(ngf_g * 2, (3, 3), strides=(2, 2),
-                        padding=[(1, 1), (1, 1)], name=f"enh{n}_down")(y)
+                        padding=[(1, 1), (1, 1)], dtype=self.dtype, name=f"enh{n}_down")(y)
             y = nn.relu(instance_norm(y))
             y = y + out
             for i in range(self.n_blocks_local):
-                y = ResnetBlockG(ngf_g * 2, name=f"enh{n}_res{i}")(y)
+                y = ResnetBlockG(ngf_g * 2, dtype=self.dtype,
+                                 name=f"enh{n}_res{i}")(y)
             y = nn.ConvTranspose(ngf_g, (3, 3), strides=(2, 2),
                                  padding=((1, 2), (1, 2)),
                                  transpose_kernel=True,
-                                 name=f"enh{n}_up")(y)
+                                 dtype=self.dtype, name=f"enh{n}_up")(y)
             y = nn.relu(instance_norm(y))
             if n == self.n_local_enhancers:
                 y = reflect_pad(y, 3)
                 y = nn.Conv(self.output_nc, (7, 7), padding="VALID",
-                            name="conv_out")(y)
+                            dtype=self.dtype, name="conv_out")(y)
                 y = jnp.tanh(y)
             out = y
         return out
@@ -155,28 +161,32 @@ class NLayerDiscriminator(nn.Module):
     (networks.py:412-464)."""
     ndf: int = 64
     n_layers: int = 3
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x) -> List[jnp.ndarray]:
         feats = []
         y = nn.Conv(self.ndf, (4, 4), strides=(2, 2),
-                    padding=[(2, 2), (2, 2)], name="conv0")(x)
+                    padding=[(2, 2), (2, 2)], dtype=self.dtype, name="conv0")(x)
         y = nn.leaky_relu(y, 0.2)
         feats.append(y)
         nf = self.ndf
         for n in range(1, self.n_layers):
             nf = min(nf * 2, 512)
             y = nn.Conv(nf, (4, 4), strides=(2, 2),
-                        padding=[(2, 2), (2, 2)], name=f"conv{n}")(y)
+                        padding=[(2, 2), (2, 2)], dtype=self.dtype,
+                        name=f"conv{n}")(y)
             y = nn.leaky_relu(instance_norm(y), 0.2)
             feats.append(y)
         nf = min(nf * 2, 512)
         y = nn.Conv(nf, (4, 4), padding=[(2, 2), (2, 2)],
-                    name=f"conv{self.n_layers}")(y)
+                    dtype=self.dtype, name=f"conv{self.n_layers}")(y)
         y = nn.leaky_relu(instance_norm(y), 0.2)
         feats.append(y)
         y = nn.Conv(1, (4, 4), padding=[(2, 2), (2, 2)],
+                    dtype=self.dtype,
                     name=f"conv{self.n_layers + 1}")(y)
+        y = y.astype(jnp.float32)
         feats.append(y)
         return feats
 
@@ -188,6 +198,7 @@ class MultiscaleDiscriminator(nn.Module):
     ndf: int = 64
     n_layers: int = 3
     num_D: int = 2
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x) -> List[List[jnp.ndarray]]:
@@ -195,6 +206,7 @@ class MultiscaleDiscriminator(nn.Module):
         cur = x
         for i in range(self.num_D):
             d = NLayerDiscriminator(self.ndf, self.n_layers,
+                                    dtype=self.dtype,
                                     name=f"scale{self.num_D - 1 - i}")
             results.append(d(cur))
             if i != self.num_D - 1:
@@ -207,26 +219,28 @@ class Encoder(nn.Module):
     feat_num: int = 5
     nef: int = 16
     n_downsampling: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         y = reflect_pad(x, 3)
-        y = nn.Conv(self.nef, (7, 7), padding="VALID", name="conv_in")(y)
+        y = nn.Conv(self.nef, (7, 7), padding="VALID", dtype=self.dtype, name="conv_in")(y)
         y = nn.relu(instance_norm(y))
         for i in range(self.n_downsampling):
             mult = 2 ** i
             y = nn.Conv(self.nef * mult * 2, (3, 3), strides=(2, 2),
-                        padding=[(1, 1), (1, 1)], name=f"down{i}")(y)
+                        padding=[(1, 1), (1, 1)], dtype=self.dtype, name=f"down{i}")(y)
             y = nn.relu(instance_norm(y))
         for i in range(self.n_downsampling):
             mult = 2 ** (self.n_downsampling - i)
             y = nn.ConvTranspose(self.nef * mult // 2, (3, 3), strides=(2, 2),
                                  padding=((1, 2), (1, 2)),
-                                 transpose_kernel=True, name=f"up{i}")(y)
+                                 transpose_kernel=True, dtype=self.dtype, name=f"up{i}")(y)
             y = nn.relu(instance_norm(y))
         y = reflect_pad(y, 3)
-        y = nn.Conv(self.feat_num, (7, 7), padding="VALID", name="conv_out")(y)
-        return jnp.tanh(y)
+        y = nn.Conv(self.feat_num, (7, 7), padding="VALID",
+                    dtype=self.dtype, name="conv_out")(y)
+        return jnp.tanh(y.astype(jnp.float32))
 
 
 def instance_average(features: jnp.ndarray, inst_slots: jnp.ndarray,

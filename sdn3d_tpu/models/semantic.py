@@ -12,7 +12,7 @@ gather loop.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -35,8 +35,8 @@ def _adaptive_pool_matrix(in_size: int, out_size: int) -> np.ndarray:
 def adaptive_avg_pool2d(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
     """x [B, H, W, C] -> [B, oh, ow, C] (torch AdaptiveAvgPool2d semantics)."""
     H, W = x.shape[1], x.shape[2]
-    A = jnp.asarray(_adaptive_pool_matrix(H, out_hw[0]))
-    Bm = jnp.asarray(_adaptive_pool_matrix(W, out_hw[1]))
+    A = jnp.asarray(_adaptive_pool_matrix(H, out_hw[0])).astype(x.dtype)
+    Bm = jnp.asarray(_adaptive_pool_matrix(W, out_hw[1])).astype(x.dtype)
     x = jnp.einsum("oh,bhwc->bowc", A, x)
     return jnp.einsum("pw,bowc->bopc", Bm, x)
 
@@ -51,14 +51,17 @@ class ConvBNReLU(nn.Module):
     filters: int
     kernel: int = 3
     use_running_average: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         p = self.kernel // 2
         x = nn.Conv(self.filters, (self.kernel,) * 2,
-                    padding=[(p, p), (p, p)], use_bias=False, name="conv")(x)
+                    padding=[(p, p), (p, p)], use_bias=False,
+                    dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=self.use_running_average,
-                         momentum=0.9, epsilon=1e-5, name="bn")(x)
+                         momentum=0.9, epsilon=1e-5, dtype=jnp.float32,
+                         name="bn")(x)
         return nn.relu(x)
 
 
@@ -69,6 +72,7 @@ class PPMDeepsup(nn.Module):
     fc_dim: int = 2048
     pool_scales: Sequence[int] = (1, 2, 3, 6)
     dropout_rate: float = 0.1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, conv_out, seg_size: Optional[Tuple[int, int]] = None,
@@ -79,20 +83,24 @@ class PPMDeepsup(nn.Module):
         ppm_out = [conv5]
         for k, scale in enumerate(self.pool_scales):
             y = adaptive_avg_pool2d(conv5, (scale, scale))
-            y = nn.Conv(512, (1, 1), use_bias=False, name=f"ppm{k}_conv")(y)
+            y = nn.Conv(512, (1, 1), use_bias=False, dtype=self.dtype,
+                        name=f"ppm{k}_conv")(y)
             y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, name=f"ppm{k}_bn")(y)
+                             epsilon=1e-5, dtype=jnp.float32,
+                             name=f"ppm{k}_bn")(y)
             y = nn.relu(y)
             ppm_out.append(resize_bilinear(y, hw))
         x = jnp.concatenate(ppm_out, axis=-1)
 
         x = nn.Conv(512, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
-                    name="conv_last0")(x)
+                    dtype=self.dtype, name="conv_last0")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="conv_last_bn")(x)
+                         epsilon=1e-5, dtype=jnp.float32,
+                         name="conv_last_bn")(x)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
-        x = nn.Conv(self.num_class, (1, 1), name="conv_last1")(x)
+        x = nn.Conv(self.num_class, (1, 1), dtype=self.dtype,
+                    name="conv_last1")(x).astype(jnp.float32)
 
         if seg_size is not None:  # inference
             x = resize_bilinear(x, seg_size)
@@ -101,9 +109,10 @@ class PPMDeepsup(nn.Module):
         # deep supervision head from conv4 (models.py:404-408)
         conv4 = conv_out[-2]
         d = ConvBNReLU(self.fc_dim // 4, 3, use_running_average=not train,
-                       name="cbr_deepsup")(conv4)
+                       dtype=self.dtype, name="cbr_deepsup")(conv4)
         d = nn.Dropout(self.dropout_rate, deterministic=not train)(d)
-        d = nn.Conv(self.num_class, (1, 1), name="conv_last_deepsup")(d)
+        d = nn.Conv(self.num_class, (1, 1), dtype=self.dtype,
+                    name="conv_last_deepsup")(d).astype(jnp.float32)
 
         return (jax.nn.log_softmax(x, axis=-1), jax.nn.log_softmax(d, axis=-1))
 
@@ -115,14 +124,16 @@ class C1BilinearDeepSup(nn.Module):
     num_class: int = 14
     fc_dim: int = 2048
     deep_sup: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, conv_out, seg_size: Optional[Tuple[int, int]] = None,
                  train: bool = False):
         conv5 = conv_out[-1]
         x = ConvBNReLU(self.fc_dim // 4, 3, use_running_average=not train,
-                       name="cbr")(conv5)
-        x = nn.Conv(self.num_class, (1, 1), name="conv_last")(x)
+                       dtype=self.dtype, name="cbr")(conv5)
+        x = nn.Conv(self.num_class, (1, 1), dtype=self.dtype,
+                    name="conv_last")(x).astype(jnp.float32)
 
         if seg_size is not None:  # inference
             x = resize_bilinear(x, seg_size)
@@ -132,8 +143,9 @@ class C1BilinearDeepSup(nn.Module):
 
         conv4 = conv_out[-2]
         d = ConvBNReLU(self.fc_dim // 4, 3, use_running_average=not train,
-                       name="cbr_deepsup")(conv4)
-        d = nn.Conv(self.num_class, (1, 1), name="conv_last_deepsup")(d)
+                       dtype=self.dtype, name="cbr_deepsup")(conv4)
+        d = nn.Conv(self.num_class, (1, 1), dtype=self.dtype,
+                    name="conv_last_deepsup")(d).astype(jnp.float32)
         return (jax.nn.log_softmax(x, axis=-1), jax.nn.log_softmax(d, axis=-1))
 
 
@@ -144,6 +156,7 @@ class PPMBilinear(nn.Module):
     num_class: int = 14
     pool_scales: Sequence[int] = (1, 2, 3, 6)
     dropout_rate: float = 0.1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, conv_out, seg_size: Optional[Tuple[int, int]] = None,
@@ -153,19 +166,23 @@ class PPMBilinear(nn.Module):
         ppm_out = [conv5]
         for k, scale in enumerate(self.pool_scales):
             y = adaptive_avg_pool2d(conv5, (scale, scale))
-            y = nn.Conv(512, (1, 1), use_bias=False, name=f"ppm{k}_conv")(y)
+            y = nn.Conv(512, (1, 1), use_bias=False, dtype=self.dtype,
+                        name=f"ppm{k}_conv")(y)
             y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, name=f"ppm{k}_bn")(y)
+                             epsilon=1e-5, dtype=jnp.float32,
+                             name=f"ppm{k}_bn")(y)
             y = nn.relu(y)
             ppm_out.append(resize_bilinear(y, hw))
         x = jnp.concatenate(ppm_out, axis=-1)
         x = nn.Conv(512, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
-                    name="conv_last0")(x)
+                    dtype=self.dtype, name="conv_last0")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="conv_last_bn")(x)
+                         epsilon=1e-5, dtype=jnp.float32,
+                         name="conv_last_bn")(x)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
-        x = nn.Conv(self.num_class, (1, 1), name="conv_last1")(x)
+        x = nn.Conv(self.num_class, (1, 1), dtype=self.dtype,
+                    name="conv_last1")(x).astype(jnp.float32)
         if seg_size is not None:
             x = resize_bilinear(x, seg_size)
             return jax.nn.softmax(x, axis=-1)
@@ -191,15 +208,19 @@ class SemanticModel(nn.Module):
     num_class: int = 14
     deep_sup_scale: float = 0.4
     arch_decoder: str = "ppm_bilinear_deepsup"
+    # bfloat16 runs the conv stacks ~5x faster on v5e; logits/losses and
+    # all BatchNorm statistics stay float32.
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, images, seg_size: Optional[Tuple[int, int]] = None,
                  train: bool = False):
         feats = ResNet(stage_sizes=(3, 4, 6, 3), block_cls=Bottleneck,
-                       output_stride=8, deep_stem=True, name="encoder")(
-            images, train=train)
+                       output_stride=8, deep_stem=True, dtype=self.dtype,
+                       name="encoder")(images, train=train)
         conv_out = feats[1:]  # C2..C5
         decoder = DECODERS[self.arch_decoder](num_class=self.num_class,
+                                              dtype=self.dtype,
                                               name="decoder")
         return decoder(conv_out, seg_size=seg_size, train=train)
 

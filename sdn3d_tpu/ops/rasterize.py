@@ -346,11 +346,17 @@ def _silhouette_grad_pixelwise(
                       & (d1_in >= 0) & (d1_in <= isz - 1)
                       & (d1_out >= 0) & (d1_out <= isz - 1))
 
+            # Distance factors with validity folded in as exact zeros
+            # (kA = 0 <=> the reference's dist==0 skip): the walk body
+            # then needs only 5 f32 + 1 bool invariant arrays per edge —
+            # the fori body is HBM-bandwidth bound on its loop-invariant
+            # reads, so every array dropped here is ~38 MB/step saved at
+            # 768^2 x 16.
             base_k = (Bu - Au) * 2.0 / isz
-            distA_ok = Bu != d0
-            distB_ok = Au != d0
-            invA = 1.0 / jnp.where(distA_ok, Bu - d0, 1.0)
-            invB = 1.0 / jnp.where(distB_ok, d0 - Au, 1.0)
+            kA = jnp.where(Bu != d0, base_k / jnp.where(Bu != d0, Bu - d0,
+                                                        1.0), 0.0)
+            kB = jnp.where(Au != d0, base_k / jnp.where(Au != d0, d0 - Au,
+                                                        1.0), 0.0)
 
             # IN-pass range (the walked span inside the face).
             use_ac = (d0 - Au) * (d0 - Cu) < 0
@@ -363,29 +369,28 @@ def _silhouette_grad_pixelwise(
             lo_in = jnp.maximum(jnp.minimum(d1_in, d1_lim_in), 0.0)
             hi_in = jnp.minimum(jnp.maximum(d1_in, d1_lim_in), isz - 1.0)
             in_range = col_ok & (d1 >= lo_in) & (d1 <= hi_in)
-            # pixel's walk distance to its in-boundary: alpha_out for the
-            # IN pass is the k = j+1 rolled alpha
-            j_dist = (d1_in - d1) * direction
+            # pixel's walk distance to its in-boundary (alpha_out for the
+            # IN pass is the k = j+1 rolled alpha); -1 = not in range, so
+            # the (j_gate == k-1) test needs no separate in_range array.
+            j_gate = jnp.where(in_range, (d1_in - d1) * direction, -1.0)
 
             is_in_pixel = col_ok & (d1_in == d1)
-            d1_lim_out = jnp.where(direction > 0, isz - 1.0, 0.0)
-            lo_out = jnp.maximum(jnp.minimum(d1_out, d1_lim_out), 0.0)
-            hi_out = jnp.minimum(jnp.maximum(d1_out, d1_lim_out), isz - 1.0)
+            # lo_out/hi_out need no arrays: for an in-boundary pixel the
+            # out walk [d1_out, border] is exactly {d1k : k>=1, 0 <= d1k
+            # <= isz-1}, an in-loop test on d1k alone.
 
             edges.append(dict(
                 i0=i0, i1=i1, d1_cross=d1_cross, direction=direction,
-                base_k=base_k, distA_ok=distA_ok, distB_ok=distB_ok,
-                invA=invA, invB=invB, in_range=in_range, j_dist=j_dist,
-                is_in_pixel=is_in_pixel, lo_out=lo_out, hi_out=hi_out,
+                kA=kA, kB=kB, j_gate=j_gate, is_in_pixel=is_in_pixel,
             ))
 
         def dist_terms(E, d1_at, diff, gate):
-            dA = E["base_k"] * (d1_at - E["d1_cross"]) * E["invA"]
+            dA = E["kA"] * (d1_at - E["d1_cross"])
             dA = jnp.where(dA > 0, dA + eps, dA - eps)
-            dB = E["base_k"] * (d1_at - E["d1_cross"]) * E["invB"]
+            dB = E["kB"] * (d1_at - E["d1_cross"])
             dB = jnp.where(dB > 0, dB + eps, dB - eps)
-            gA = jnp.where(gate & E["distA_ok"], diff / dA, 0.0)
-            gB = jnp.where(gate & E["distB_ok"], diff / dB, 0.0)
+            gA = jnp.where(gate & (E["kA"] != 0), diff / dA, 0.0)
+            gB = jnp.where(gate & (E["kB"] != 0), diff / dB, 0.0)
             return gA, gB
 
         def walk_step(k, accs):
@@ -405,7 +410,7 @@ def _silhouette_grad_pixelwise(
                 # ------- OUT: contributions land at the in-boundary pixel,
                 # reading alpha/grad at distance k
                 d1k = d1 + E["direction"] * kf
-                in_seg = (d1k >= E["lo_out"]) & (d1k <= E["hi_out"])
+                in_seg = (d1k >= 0.0) & (d1k <= isz - 1.0)
                 g_k = jnp.where(pos, g_fwd, g_bwd)
                 diff = (a_k - alpha) * g_k
                 gate = E["is_in_pixel"] & in_seg & (diff > 0)
@@ -413,8 +418,7 @@ def _silhouette_grad_pixelwise(
                 # ------- IN: pixels at walk distance j = k-1 read their
                 # alpha_out (= a_k) here; grad is pixel-local
                 diff_in = (alpha - a_k) * grad_alpha
-                gate_in = (E["in_range"] & (E["j_dist"] == kf - 1.0)
-                           & (diff_in > 0))
+                gate_in = (E["j_gate"] == kf - 1.0) & (diff_in > 0)
                 gA_in, gB_in = dist_terms(E, d1, diff_in, gate_in)
                 out.append((accA + gA + gA_in, accB + gB + gB_in))
             return tuple(out)
@@ -692,26 +696,28 @@ def _depth_grad(
 
 def _rasterize_sorted(faces, face_valid, image_size: int, near: float,
                       far: float):
-    """Hit map in Morton-SORTED face space + perm (TPU pallas path), or
-    (hit map in original space, None) elsewhere.
+    """(hit map, depth, perm) in Morton-SORTED face space (TPU pallas
+    path), or (hit map, depth, None) in original space elsewhere.
 
-    The silhouette path never needs original face ids in the map itself —
-    skipping the un-permute gather saves a [B, P] lane-crossing gather per
-    forward, and the backward's pixel->face reduction gets Morton-coherent
-    face groups (see segment_face_grads_pallas)."""
+    Silhouette/depth/flat-color consumers never need original face ids in
+    the map itself — skipping the un-permute gather saves a [B, P]
+    lane-crossing gather per forward (~56 ms at 512^2 x 16), and the
+    silhouette backward's pixel->face reduction gets Morton-coherent face
+    groups (see segment_face_grads_pallas).  Per-face attributes can be
+    permuted instead (F rows, not P)."""
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if on_tpu and image_size % 128 == 0:
         from sdn3d_tpu.ops import rasterize_pallas as RP
         version = RP.KERNEL_VERSION
         packed, aux, chunk_bbox, perm = RP.pack_faces(
             faces, face_valid, image_size, version=version)
-        fi, _ = RP.rasterize_face_index_pallas(
+        fi, depth = RP.rasterize_face_index_pallas(
             packed, aux, chunk_bbox, image_size, near, far, version=version)
-        return fi, perm
-    fi, _, _, _ = rasterize_face_maps(
+        return fi, depth, perm
+    fi, _, depth, _ = rasterize_face_maps(
         faces, face_valid, image_size, near, far, return_face_inv=False,
         return_weights=False, impl="xla")
-    return fi, None
+    return fi, depth, None
 
 
 @functools.lru_cache(maxsize=None)
@@ -719,12 +725,13 @@ def _make_silhouette_fn(image_size: int, near: float, far: float, eps: float,
                         walk: int = 0):
     @jax.custom_vjp
     def sil(faces, face_valid):
-        fi, _ = _rasterize_sorted(faces, face_valid, image_size, near, far)
+        fi, _, _ = _rasterize_sorted(faces, face_valid, image_size, near,
+                                     far)
         return (fi >= 0).astype(_f32)
 
     def fwd(faces, face_valid):
-        fi, perm = _rasterize_sorted(faces, face_valid, image_size, near,
-                                     far)
+        fi, _, perm = _rasterize_sorted(faces, face_valid, image_size,
+                                        near, far)
         alpha = (fi >= 0).astype(_f32)
         return alpha, (faces, face_valid, fi, perm, alpha)
 
@@ -904,12 +911,17 @@ def rasterize_face_colors(
     (gather autodiff); geometry gradients flow via the silhouette path.
     """
     size = image_size * 2 if anti_aliasing else image_size
-    fi, _, _, _ = rasterize_face_maps(
-        jax.lax.stop_gradient(faces), face_valid, size, near, far,
-        return_face_inv=False, return_weights=False)
+    if face_valid is None:
+        face_valid = jnp.ones(faces.shape[:2], bool)
+    fi, _, perm = _rasterize_sorted(
+        jax.lax.stop_gradient(faces), face_valid, size, near, far)
     hit = fi >= 0
     fi_c = jnp.where(hit, fi, 0)
     B = faces.shape[0]
+    if perm is not None:
+        # permute per-face colors instead of un-permuting the hit map
+        colors = jax.vmap(lambda cb, pb: cb[pb])(
+            colors, perm[:, :colors.shape[1]])
     rgb = jnp.take_along_axis(colors, fi_c.reshape(B, -1, 1), axis=1)
     rgb = rgb.reshape(B, size, size, 3)
     bg = jnp.asarray(background, _f32)

@@ -52,6 +52,9 @@ class TexturalConfig:
     beta1: float = 0.5
     use_vgg_loss: bool = True
     max_instances: int = 64
+    # computation dtype for G/D/E convs ("bfloat16" ~5x faster on v5e;
+    # params, norms and losses stay float32)
+    compute_dtype: str = "float32"
 
     @property
     def netG_input_nc(self) -> int:
@@ -129,10 +132,13 @@ class TexturalTrainer:
 
     def __post_init__(self):
         c = self.cfg
+        import jax.numpy as _jnp
+        dt = _jnp.dtype(c.compute_dtype)
         self.netG = GlobalGenerator(c.output_nc, c.ngf, c.n_downsample_global,
-                                    c.n_blocks_global)
-        self.netD = MultiscaleDiscriminator(c.ndf, c.n_layers_d, c.num_d)
-        self.netE = Encoder(c.feat_num, c.nef, c.n_downsample_e)
+                                    c.n_blocks_global, dtype=dt)
+        self.netD = MultiscaleDiscriminator(c.ndf, c.n_layers_d, c.num_d,
+                                            dtype=dt)
+        self.netE = Encoder(c.feat_num, c.nef, c.n_downsample_e, dtype=dt)
         self.tx_g = optax.adam(c.lr, b1=c.beta1, b2=0.999)
         self.tx_d = optax.adam(c.lr, b1=c.beta1, b2=0.999)
 

@@ -1,5 +1,7 @@
 """Shape/behavior tests for the branch models (small configs on CPU)."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -210,3 +212,73 @@ def test_image_metrics():
                                rtol=1e-9)
     assert 0.0 < dssim(a, b) < 0.5
     np.testing.assert_allclose(l2(a, b), 0.5 * (10 / 255) ** 2, rtol=1e-9)
+
+
+def test_semantic_bfloat16_close_to_float32():
+    """SemanticModel(dtype=bfloat16) shares float32 params and stays close
+    to the float32 forward (BatchNorm stats and logits remain float32)."""
+    import jax
+    import jax.numpy as jnp
+    from sdn3d_tpu.models.semantic import SemanticModel
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32))
+    m32 = SemanticModel(num_class=5)
+    m16 = SemanticModel(num_class=5, dtype=jnp.bfloat16)
+    variables = m32.init(jax.random.PRNGKey(0), x, seg_size=(64, 96))
+    p32 = m32.apply(variables, x, seg_size=(64, 96))
+    p16 = m16.apply(variables, x, seg_size=(64, 96))
+    assert p32.dtype == jnp.float32 and p16.dtype == jnp.float32
+    # softmax probabilities agree to bf16-accumulation tolerance
+    np.testing.assert_allclose(np.asarray(p16), np.asarray(p32), atol=0.08)
+    assert np.mean(np.abs(np.asarray(p16) - np.asarray(p32))) < 0.01
+
+
+def test_pix2pixhd_bfloat16_close_to_float32():
+    import jax
+    import jax.numpy as jnp
+    from sdn3d_tpu.models.pix2pixhd import GlobalGenerator
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(1, 32, 64, 20).astype(np.float32))
+    g32 = GlobalGenerator(ngf=8, n_downsampling=2, n_blocks=2)
+    g16 = GlobalGenerator(ngf=8, n_downsampling=2, n_blocks=2,
+                          dtype=jnp.bfloat16)
+    variables = g32.init(jax.random.PRNGKey(0), x)
+    y32 = g32.apply(variables, x)
+    y16 = g16.apply(variables, x)
+    assert y32.dtype == jnp.float32 and y16.dtype == jnp.float32
+    # tanh output in [-1, 1]: absolute tolerance
+    np.testing.assert_allclose(np.asarray(y16), np.asarray(y32), atol=0.1)
+    assert np.mean(np.abs(np.asarray(y16) - np.asarray(y32))) < 0.02
+
+
+def test_maskrcnn_bfloat16_detections_close():
+    """MaskRCNNConfig(compute_dtype='bfloat16') shares float32 params and
+    produces near-identical proposal scores on a small config."""
+    import jax
+    import jax.numpy as jnp
+    from sdn3d_tpu.models.maskrcnn import (MaskRCNN, MaskRCNNConfig,
+                                           generate_pyramid_anchors)
+
+    cfg32 = MaskRCNNConfig(image_max_dim=128, stage_sizes=(1, 1, 1, 1),
+                           pre_nms_limit=200, post_nms_rois_inference=20,
+                           detection_max_instances=5)
+    cfg16 = dataclasses.replace(cfg32, compute_dtype="bfloat16")
+    anchors = jnp.asarray(generate_pyramid_anchors(cfg32))
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(1, 128, 128, 3).astype(np.float32) * 50)
+    m32, m16 = MaskRCNN(cfg32), MaskRCNN(cfg16)
+    window = (0.0, 0.0, 128.0, 128.0)
+    variables = m32.init(jax.random.PRNGKey(0), img, anchors, window)
+    o32 = m32.apply(variables, img, anchors, window)
+    o16 = m16.apply(variables, img, anchors, window)
+    # logits are O(20) with this random init; bf16 rounding leaves ~1e-2
+    # relative error — check the error distribution, not element-wise
+    # bounds (near-zero logits have unbounded relative error).
+    a16 = np.asarray(o16["rpn_class_logits"])
+    a32 = np.asarray(o32["rpn_class_logits"])
+    scale = np.abs(a32).mean()
+    err = np.abs(a16 - a32)
+    assert err.mean() / scale < 0.02, (err.mean(), scale)
+    assert np.quantile(err, 0.99) / scale < 0.1
