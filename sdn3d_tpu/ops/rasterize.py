@@ -369,9 +369,7 @@ def _silhouette_grad_pixelwise(
             lo_in = jnp.maximum(jnp.minimum(d1_in, d1_lim_in), 0.0)
             hi_in = jnp.minimum(jnp.maximum(d1_in, d1_lim_in), isz - 1.0)
             in_range = col_ok & (d1 >= lo_in) & (d1 <= hi_in)
-            # pixel's walk distance to its in-boundary (alpha_out for the
-            # IN pass is the k = j+1 rolled alpha); -1 = not in range, so
-            # the (j_gate == k-1) test needs no separate in_range array.
+            # pixel's walk distance to its in-boundary; -1 = not in range.
             j_gate = jnp.where(in_range, (d1_in - d1) * direction, -1.0)
 
             is_in_pixel = col_ok & (d1_in == d1)
@@ -398,13 +396,17 @@ def _silhouette_grad_pixelwise(
             # was measured 7x slower to compile AND 3.6x slower to run than
             # this fori+roll form on the TPU backend.  The 4 rolls are the
             # only shifted reads; everything else is pixel-local.
+            # Accumulators are PER VERTEX (3 arrays), not per edge endpoint
+            # (6): edge e's A-grad and edge e-1's B-grad both belong to
+            # vertex e, and the fori body's carried-array r/w traffic is a
+            # large share of its HBM cost.
             kf = k.astype(_f32)
             a_fwd = jnp.roll(alpha, -k, axis=shift_axis)
             a_bwd = jnp.roll(alpha, k, axis=shift_axis)
             g_fwd = jnp.roll(grad_alpha, -k, axis=shift_axis)
             g_bwd = jnp.roll(grad_alpha, k, axis=shift_axis)
-            out = []
-            for E, (accA, accB) in zip(edges, accs):
+            accs = list(accs)
+            for E in edges:
                 pos = E["direction"] > 0
                 a_k = jnp.where(pos, a_fwd, a_bwd)
                 # ------- OUT: contributions land at the in-boundary pixel,
@@ -416,20 +418,21 @@ def _silhouette_grad_pixelwise(
                 gate = E["is_in_pixel"] & in_seg & (diff > 0)
                 gA, gB = dist_terms(E, d1k, diff, gate)
                 # ------- IN: pixels at walk distance j = k-1 read their
-                # alpha_out (= a_k) here; grad is pixel-local
+                # alpha_out (= a_k) here; grad is pixel-local.  (An
+                # attempted hoist of this out of the loop via log-step
+                # span propagation is INCORRECT under occlusion: an
+                # occluded pixel's jump chain crosses pixels owned by the
+                # occluder, whose span distances are inconsistent.)
                 diff_in = (alpha - a_k) * grad_alpha
                 gate_in = (E["j_gate"] == kf - 1.0) & (diff_in > 0)
                 gA_in, gB_in = dist_terms(E, d1, diff_in, gate_in)
-                out.append((accA + gA + gA_in, accB + gB + gB_in))
-            return tuple(out)
+                accs[E["i0"]] = accs[E["i0"]] + gA + gA_in
+                accs[E["i1"]] = accs[E["i1"]] + gB + gB_in
+            return tuple(accs)
 
-        init = tuple((zero, zero) for _ in range(3))
-        accs = jax.lax.fori_loop(1, W + 1, walk_step, init)
-        for E, (accA, accB) in zip(edges, accs):
-            k0 = (E["i0"], 1 - axis)
-            k1 = (E["i1"], 1 - axis)
-            comps[k0] = comps[k0] + accA
-            comps[k1] = comps[k1] + accB
+        accs = jax.lax.fori_loop(1, W + 1, walk_step, (zero, zero, zero))
+        for v in range(3):
+            comps[(v, 1 - axis)] = comps[(v, 1 - axis)] + accs[v]
 
     # Reduce per-pixel contributions onto faces: grad -= diff/dist.
     on_tpu = jax.default_backend() in ("tpu", "axon")

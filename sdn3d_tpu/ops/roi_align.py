@@ -49,13 +49,13 @@ def crop_and_resize(
     y1i = jnp.clip(y0i + 1, 0, H - 1)
     x1i = jnp.clip(x0i + 1, 0, W - 1)
 
-    imgs = image[box_indices]                              # [N, H, W, C]
+    bidx = box_indices[:, None, None]                      # [N, 1, 1]
 
     def gather(yy, xx):
-        # yy [N, ch], xx [N, cw] -> [N, ch, cw, C]
-        rows = jnp.take_along_axis(imgs, yy[:, :, None, None], axis=1)
-        # rows [N, ch, W, C]; now take columns
-        return jnp.take_along_axis(rows, xx[:, None, :, None], axis=2)
+        # One fused 3-axis gather [N, ch, cw, C].  NEVER materialize
+        # image[box_indices] ([N, H, W, C]) first: at Mask R-CNN scale
+        # (N=1000 proposals vs the P2 map) that intermediate is ~67 GB.
+        return image[bidx, yy[:, :, None], xx[:, None, :]]
 
     tl = gather(y0i, x0i)
     tr = gather(y0i, x1i)

@@ -263,3 +263,32 @@ def test_segment_face_grads_pallas_matches_segment_sum(rng):
         got = np.asarray(out)[:, :F, p].reshape(-1)
         # summation order differs (per-row MXU dots vs np.add.at)
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_v3_empty_scene_and_odd_size(rng, monkeypatch):
+    """v3 kernel: fully-invalid scenes produce empty maps, and image sizes
+    where tile_h < image (384 -> tile_h 192 with the default cap) still
+    match the XLA scan."""
+    from sdn3d_tpu.ops import rasterize_pallas as RP
+    monkeypatch.setattr(RP, "KERNEL_VERSION", 3)
+
+    faces = random_faces(rng, batch=1, num_faces=11)
+    # all faces invalid
+    valid = np.zeros((1, 11), bool)
+    fi, _, d, _ = R.rasterize_face_maps(
+        jnp.asarray(faces), jnp.asarray(valid), 128, impl="pallas_interp")
+    assert (np.asarray(fi) == -1).all()
+    np.testing.assert_allclose(np.asarray(d), 100.0)
+
+    # 384 is not divisible by the 1024-capped tile height -> _tile_h
+    # falls back to a divisor (192); maps must still match XLA.
+    monkeypatch.setattr(RP, "TILE_H3", 1024)
+    valid = np.ones((1, 11), bool)
+    fi_x, _, d_x, _ = R.rasterize_face_maps(
+        jnp.asarray(faces), jnp.asarray(valid), 384, impl="xla")
+    fi_p, _, d_p, _ = R.rasterize_face_maps(
+        jnp.asarray(faces), jnp.asarray(valid), 384, impl="pallas_interp")
+    np.testing.assert_array_equal(np.asarray(fi_p), np.asarray(fi_x))
+    hit = np.asarray(fi_x) >= 0
+    np.testing.assert_allclose(np.asarray(d_p)[hit], np.asarray(d_x)[hit],
+                               rtol=1e-4)
