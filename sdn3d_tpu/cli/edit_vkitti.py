@@ -81,8 +81,8 @@ def generate_edit_frame(trainer, state, base_img_t, base_label,
     # source texture codes, splatted by target instance ids
     cfg = trainer.cfg
     slots, mapping = dense_instance_slots(maps["inst"], cfg.max_instances)
-    feats = trainer.netE.apply({"params": state.params_e},
-                               jnp.asarray(base_img_t[None]))
+    feats = trainer.encode_features_jit(state.params_e,
+                                        jnp.asarray(base_img_t[None]))
     # codes from the SOURCE instance layout:
     src_slots, src_mapping = dense_instance_slots(
         np.asarray(base_label), cfg.max_instances)
@@ -106,8 +106,8 @@ def generate_edit_frame(trainer, state, base_img_t, base_label,
         "pose": jnp.asarray(maps["pose"][None]),
         "normal": jnp.asarray(maps["normal"][None].astype(np.float32)),
     }
-    fake = trainer.fake_inference(state, batch,
-                                  feat_map=jnp.asarray(feat_map[None]))
+    fake = trainer.fake_inference_jit(state, batch,
+                                      jnp.asarray(feat_map[None]))
     return np.asarray(fake[0]), maps
 
 

@@ -29,7 +29,7 @@ def main(argv=None):
     from sdn3d_tpu.cli.semantic_test import load_model
     from sdn3d_tpu.data.vkitti import decode_scenegt, get_lists, get_tables
     from sdn3d_tpu.pipelines.semantic import (
-        accuracy, intersection_and_union, multiscale_inference)
+        accuracy, intersection_and_union, multiscale_labels)
     from sdn3d_tpu.utils.profiling import AverageMeter
 
     args = build_argparser().parse_args(argv)
@@ -57,10 +57,8 @@ def main(argv=None):
         img = rgb.astype(np.float32)[:, :, ::-1]
         img = (img - np.asarray(MEAN_BGR, np.float32)) / np.asarray(
             STD_BGR, np.float32)
-        probs = multiscale_inference(variables, model, img,
-                                     scales=tuple(args.scales),
-                                     num_class=args.num_class)
-        pred = probs.argmax(-1)
+        pred = multiscale_labels(variables, model, img,
+                                 scales=tuple(args.scales))
         acc, pix = accuracy(pred, gt)
         inter, union = intersection_and_union(pred, gt, args.num_class)
         acc_meter.update(acc, pix)

@@ -51,7 +51,7 @@ def load_model(args):
 
 
 def infer_image(model, variables, image_rgb: np.ndarray, args) -> np.ndarray:
-    from sdn3d_tpu.pipelines.semantic import multiscale_inference
+    from sdn3d_tpu.pipelines.semantic import multiscale_labels
 
     # Exact reference normalization (vkitti_dataset.py:43-44,152):
     # BGR order, ImageNet means x255, stds in 0..1 scale.
@@ -59,10 +59,8 @@ def infer_image(model, variables, image_rgb: np.ndarray, args) -> np.ndarray:
     img = image_rgb.astype(np.float32)[:, :, ::-1]
     img = (img - np.asarray(MEAN_BGR, np.float32)) / np.asarray(
         STD_BGR, np.float32)
-    probs = multiscale_inference(variables, model, img,
-                                 scales=tuple(args.scales),
-                                 num_class=args.num_class)
-    return probs.argmax(-1).astype(np.uint8)
+    return multiscale_labels(variables, model, img,
+                             scales=tuple(args.scales))
 
 
 def main(argv=None):

@@ -85,7 +85,7 @@ def main(argv=None):
             "pose": jnp.asarray(maps["pose"][None]),
             "normal": jnp.asarray(maps["normal"][None].astype(np.float32)),
         }
-        fake = np.asarray(trainer.fake_inference(state, batch)[0])
+        fake = np.asarray(trainer.fake_inference_jit(state, batch)[0])
         l1 = float(np.abs(fake - image).mean())
         l1s.append(l1)
         gallery.add_images({"synthesized": tensor2im(fake),

@@ -45,8 +45,16 @@ class MaskRCNNDetector:
     config: MaskRCNNConfig = MaskRCNNConfig()
 
     def __post_init__(self):
+        import jax
+
         self.model = MaskRCNN(config=self.config)
         self.anchors = generate_pyramid_anchors(self.config)
+        # window is a python float tuple -> static (one compile per camera
+        # aspect; VKITTI/Cityscapes each have a single one).  Unjitted
+        # apply dispatches the whole graph op-by-op through the device
+        # relay (~seconds per frame).
+        self._apply = jax.jit(self.model.apply, static_argnums=(3,),
+                              static_argnames=("train",))
 
     def init(self, rng):
         import jax.numpy as jnp
@@ -71,9 +79,9 @@ class MaskRCNNDetector:
                                              cfg.image_max_dim)
         molded = molded.astype(np.float32) - np.asarray(cfg.mean_pixel,
                                                         np.float32)
-        out = self.model.apply(variables, jnp.asarray(molded[None]),
-                               jnp.asarray(self.anchors),
-                               tuple(float(v) for v in window), train=False)
+        out = self._apply(variables, jnp.asarray(molded[None]),
+                          jnp.asarray(self.anchors),
+                          tuple(float(v) for v in window), train=False)
 
         dets = np.asarray(out["detections"])          # [D, 6] pixel (molded)
         valid = np.asarray(out["det_valid"])
@@ -84,6 +92,11 @@ class MaskRCNNDetector:
             if not valid[i]:
                 continue
             y1, x1, y2, x2, cid, score = dets[i]
+            if not np.isfinite([y1, x1, y2, x2]).all():
+                # untrained weights can overflow exp() in the box deltas;
+                # the reference guards its detect loop the same way
+                # (geometric/scripts/main.py:798-810 bare-except skip)
+                continue
             cid = int(cid)
             if cid <= 0 or y2 <= y1 or x2 <= x1:
                 continue

@@ -124,26 +124,67 @@ def pad_to_multiple(image: np.ndarray, multiple: int = 8) -> np.ndarray:
     return image
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _jitted_apply(model: SemanticModel):
+    # flax Modules hash by their (hashable) fields, so this caches one
+    # jitted apply per model config; each (shape, seg_size) gets its own
+    # compiled executable via jit's own cache.
+    return jax.jit(model.apply, static_argnames=("seg_size", "train"))
+
+
+@_functools.lru_cache(maxsize=None)
+def _jitted_scale_apply(model: SemanticModel, nh: int, nw: int,
+                        ph: int, pw: int, seg_h: int, seg_w: int):
+    """Resize + pad + segment, all on device — one H2D of the source image
+    total and one D2H of the averaged probs (the naive per-scale host
+    round trips move 5x the bytes; device links are the bottleneck)."""
+    def fn(variables, img_dev):
+        x = jax.image.resize(img_dev, (nh, nw, 3), method="bilinear")
+        x = jnp.pad(x, ((0, ph), (0, pw), (0, 0)))
+        return model.apply(variables, x[None], seg_size=(seg_h, seg_w),
+                           train=False)[0]
+    return jax.jit(fn)
+
+
+def multiscale_probs_device(variables, model: SemanticModel,
+                            image: np.ndarray,
+                            scales: Sequence[int] = EVAL_SCALES
+                            ) -> jnp.ndarray:
+    """Averaged multi-scale softmax, kept ON DEVICE ([H, W, C])."""
+    H, W = image.shape[:2]
+    img_dev = jnp.asarray(image)
+    total = None
+    for s in scales:
+        scale = s / min(H, W)
+        nh, nw = int(H * scale), int(W * scale)
+        ph, pw = -nh % 8, -nw % 8
+        probs = _jitted_scale_apply(model, nh, nw, ph, pw, H, W)(
+            variables, img_dev)
+        total = probs if total is None else total + probs
+    return total / len(scales)
+
+
 def multiscale_inference(variables, model: SemanticModel,
                          image: np.ndarray,
                          scales: Sequence[int] = EVAL_SCALES,
                          num_class: int = 14) -> np.ndarray:
     """Averaged multi-scale softmax (vkitti_eval.py:58-75).
 
-    image [H, W, 3] float (already normalized).  Returns probs [H, W, C].
-    """
-    H, W = image.shape[:2]
-    total = np.zeros((H, W, num_class), np.float32)
-    for s in scales:
-        scale = s / min(H, W)
-        nh, nw = int(H * scale), int(W * scale)
-        img = np.asarray(jax.image.resize(
-            jnp.asarray(image), (nh, nw, 3), method="bilinear"))
-        img = pad_to_multiple(img, 8)
-        probs = model.apply(variables, jnp.asarray(img[None]),
-                            seg_size=(H, W), train=False)
-        total += np.asarray(probs[0]) / len(scales)
-    return total
+    image [H, W, 3] float (already normalized).  Returns probs [H, W, C]."""
+    del num_class
+    return np.asarray(multiscale_probs_device(variables, model, image,
+                                              scales))
+
+
+def multiscale_labels(variables, model: SemanticModel, image: np.ndarray,
+                      scales: Sequence[int] = EVAL_SCALES) -> np.ndarray:
+    """Argmax labels [H, W] uint8 — transfers ~1/56th of the probs volume
+    (the label-PNG and mIoU paths never need host-side probabilities)."""
+    probs = multiscale_probs_device(variables, model, image, scales)
+    return np.asarray(jnp.argmax(probs, axis=-1).astype(jnp.uint8))
 
 
 def intersection_and_union(pred: np.ndarray, label: np.ndarray,

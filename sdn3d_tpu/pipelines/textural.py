@@ -141,6 +141,12 @@ class TexturalTrainer:
         self.netE = Encoder(c.feat_num, c.nef, c.n_downsample_e, dtype=dt)
         self.tx_g = optax.adam(c.lr, b1=c.beta1, b2=0.999)
         self.tx_d = optax.adam(c.lr, b1=c.beta1, b2=0.999)
+        # jit-cached inference entry points (eager flax apply dispatches
+        # op-by-op through the device relay — seconds per frame on TPU)
+        self.fake_inference_jit = jax.jit(self.fake_inference)
+        self.encode_features_jit = jax.jit(
+            lambda params_e, image: self.netE.apply({"params": params_e},
+                                                    image))
 
     def init(self, rng: jax.Array, height: int = 192, width: int = 624
              ) -> TexturalState:
