@@ -28,6 +28,8 @@ def build_argparser():
     p.add_argument("--fine_width", type=int, default=624)
     p.add_argument("--fine_height", type=int, default=192)
     p.add_argument("--no_vgg", action="store_true")
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"])
     return p
 
 
@@ -37,7 +39,9 @@ def load_trainer(args):
     from sdn3d_tpu.core.checkpoint import restore_checkpoint
     from sdn3d_tpu.pipelines.textural import TexturalConfig, TexturalTrainer
 
-    cfg = TexturalConfig(use_vgg_loss=not args.no_vgg)
+    cfg = TexturalConfig(use_vgg_loss=not args.no_vgg,
+                         compute_dtype=getattr(args, "compute_dtype",
+                                               "float32"))
     trainer = TexturalTrainer(cfg)
     state = trainer.init(jax.random.PRNGKey(0), args.fine_height,
                          args.fine_width)
