@@ -47,7 +47,12 @@ TILE_W = 128
 # v5e sweeps: 128 -> 1024 ~14% faster (v1); 1024 -> 2048 ~15% faster (v3).
 FACE_CHUNK = int(_os.getenv("SDN3D_RASTER_FACE_CHUNK", "2048"))
 GROUP = int(_os.getenv("SDN3D_RASTER_GROUP", "32"))
-PER_FACE_CULL = True      # third culling level (per-face bbox scalar test)
+# third culling level (per-face bbox scalar test).  Essential for v1
+# (each face pays a full-tile vector pass) but NET-NEGATIVE for v3 (the
+# SMEM read + branch cost more than the slab work it skips inside
+# Morton-compact groups: 287 -> 258 ms at 768^2 x16 without it).
+PER_FACE_CULL = True
+PER_FACE_CULL_V3 = _os.getenv("SDN3D_RASTER_FACE_CULL_V3", "0") == "1"
 
 # Kernel version: 1 = scalar face loop over whole pixel tiles;
 # 2 = 8 faces vectorized along sublanes x 128 pixels along lanes, looping
@@ -533,7 +538,7 @@ def _raster_kernel_v3(bbox_ref, aux_ref, face_ref, fi_ref, depth_ref, *,
         rnear = jnp.float32(1.0 / near)
 
         def face_body(j, carry):
-            @pl.when(bbox_hit(aux_ref[0, 0, j]) if PER_FACE_CULL
+            @pl.when(bbox_hit(aux_ref[0, 0, j]) if PER_FACE_CULL_V3
                      else (j >= 0))
             def _face():
                 a01 = face_ref[0, 0, j]
