@@ -38,6 +38,7 @@ def main(argv=None):
     from sdn3d_tpu.cli.edit_vkitti import load_trainer, generate_edit_frame
     from sdn3d_tpu.data.vkitti import load_edit_json, benchmark_split
     from sdn3d_tpu.data.textural_data import transform_image
+    from sdn3d_tpu.utils import metrics
     from sdn3d_tpu.utils.visualizer import HTMLGallery, tensor2im
 
     args = build_argparser().parse_args(argv)
@@ -49,6 +50,7 @@ def main(argv=None):
     gallery = HTMLGallery(args.results_dir, "92-pair edit benchmark")
 
     l1s = []
+    lpipss = []
     t0 = time.perf_counter()
     for item in items:
         src = os.path.join(args.data_root, "vkitti_1.3.1_rgb", item.world,
@@ -65,22 +67,23 @@ def main(argv=None):
                                    args.load_size, wh)
 
         # geometric outputs are stored per target name
-        class _A:
-            pass
         fake, maps = generate_edit_frame(
             trainer, state, base_img_t, base_label, args.geo_dir,
             int(item.target), wh, args)
 
         l1 = float(np.abs(fake - target_t).mean())
         l1s.append(l1)
+        lp = metrics.lpips(tensor2im(fake), tensor2im(target_t))
+        lpipss.append(lp)
         gallery.add_images({"generated": tensor2im(fake),
                             "target": tensor2im(target_t)},
                            item.target_name)
-        print(f"{item.target_name}: L1={l1:.4f}")
+        print(f"{item.target_name}: L1={l1:.4f} LPIPS={lp:.4f}")
     dt = time.perf_counter() - t0
 
     result = {
         "mean_L1": float(np.mean(l1s)),
+        "mean_LPIPS": float(np.mean(lpipss)),
         "pairs": len(l1s),
         "edits_per_sec": len(l1s) / dt,
     }

@@ -24,6 +24,11 @@ def build_argparser():
     p.add_argument("--save_every", type=int, default=1000)
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--no_vgg", action="store_true")
+    p.add_argument("--use_global_encoder", action="store_true",
+                   help="global VAE latent conditioning + KL loss "
+                        "(reference --no_global_encoder=0)")
+    p.add_argument("--pool_size", type=int, default=0,
+                   help="GAN history buffer for the D fake loss")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--small", action="store_true",
                    help="small nets (smoke mode)")
@@ -56,14 +61,15 @@ def main(argv=None):
     from sdn3d_tpu.pipelines.textural import TexturalConfig, TexturalTrainer
 
     args = build_argparser().parse_args(argv)
+    common = dict(use_vgg_loss=not args.no_vgg, lr=args.lr,
+                  use_global_encoder=args.use_global_encoder,
+                  pool_size=args.pool_size)
     if args.small:
         cfg = TexturalConfig(ngf=8, ndf=8, nef=4, n_downsample_global=2,
                              n_blocks_global=2, n_downsample_e=2,
-                             n_layers_d=2, use_vgg_loss=not args.no_vgg,
-                             max_instances=8, lr=args.lr)
+                             n_layers_d=2, max_instances=8, **common)
     else:
-        cfg = TexturalConfig(use_vgg_loss=not args.no_vgg, lr=args.lr,
-                             compute_dtype=args.compute_dtype)
+        cfg = TexturalConfig(compute_dtype=args.compute_dtype, **common)
     trainer = TexturalTrainer(cfg)
     rng = np.random.RandomState(0)
 
@@ -80,8 +86,14 @@ def main(argv=None):
         batch = synthetic_batch(args, rng, cfg)   # dataset mode: see
         # cli/edit_benchmark.py assembly; full VKITTI loader requires the
         # dataset to be mounted.
-        state, g_losses = g_step(state, batch)
-        state, d_losses = d_step(state, batch)
+        key = jax.random.PRNGKey(it)
+        kg, kd = jax.random.split(key)
+        state, g_losses = g_step(state, batch, kg)
+        if cfg.pool_size > 0:
+            fake_concat = trainer.pooled_fake_concat(state, batch, kd)
+            state, d_losses = d_step(state, batch, kd, fake_concat)
+        else:
+            state, d_losses = d_step(state, batch, kd)
         if it % 10 == 0:
             msg = " ".join(f"{k}={float(v):.3f}"
                            for k, v in {**g_losses, **d_losses}.items())

@@ -243,6 +243,66 @@ class Encoder(nn.Module):
         return jnp.tanh(y.astype(jnp.float32))
 
 
+class GlobalEncoder(nn.Module):
+    """Global VAE encoder (netGlobalE): image -> (mu, logvar) of an
+    nz-dim latent whose reparameterized sample is broadcast over H x W as
+    extra netG conditioning channels (pix2pixHD_model.py:190-198,265-271).
+
+    The reference configures it as `global_encoder_which_model='resnet_128'`
+    with nef=64, nz=3 (base_options.py:65-68) but never constructs the
+    module (no `self.netGlobalE = ...` exists; the path is dead code unless
+    loaded from a checkpoint).  We therefore implement the named
+    convention — a BicycleGAN-style resnet encoder: stride-2 residual
+    downsampling stack, global average pool, two Dense heads — rather than
+    translate an architecture that does not exist in the reference.
+    """
+    nz: int = 3
+    nef: int = 64
+    n_blocks: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        y = nn.Conv(self.nef, (4, 4), strides=(2, 2),
+                    padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                    name="conv_in")(x)
+        ch = self.nef
+        for i in range(self.n_blocks):
+            out_ch = self.nef * min(2 ** (i + 1), 4)
+            # pre-activation residual block, stride-2 via avg-pool shortcut
+            h = nn.relu(instance_norm(y))
+            h = nn.Conv(out_ch, (3, 3), strides=(2, 2),
+                        padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                        name=f"block{i}_conv1")(h)
+            h = nn.relu(instance_norm(h))
+            h = nn.Conv(out_ch, (3, 3), padding=[(1, 1), (1, 1)],
+                        dtype=self.dtype, name=f"block{i}_conv2")(h)
+            s = nn.avg_pool(y, (2, 2), strides=(2, 2))
+            if ch != out_ch:
+                s = nn.Conv(out_ch, (1, 1), use_bias=False,
+                            dtype=self.dtype, name=f"block{i}_skip")(s)
+            y = h + s
+            ch = out_ch
+        y = nn.relu(y.astype(jnp.float32))
+        y = jnp.mean(y, axis=(1, 2))                    # global avg pool
+        mu = nn.Dense(self.nz, name="fc_mu")(y)
+        logvar = nn.Dense(self.nz, name="fc_logvar")(y)
+        return mu, logvar
+
+
+def reparameterize(mu: jnp.ndarray, logvar: jnp.ndarray,
+                   rng: jax.Array) -> jnp.ndarray:
+    """z = mu + exp(logvar/2) * eps (pix2pixHD_model.py:194-196)."""
+    eps = jax.random.normal(rng, mu.shape, mu.dtype)
+    return mu + jnp.exp(0.5 * logvar) * eps
+
+
+def kl_loss(mu: jnp.ndarray, logvar: jnp.ndarray) -> jnp.ndarray:
+    """Summed KL(q(z|x) || N(0,1)) (pix2pixHD_model.py:235-237):
+    -0.5 * sum(1 + logvar - mu^2 - exp(logvar))."""
+    return -0.5 * jnp.sum(1.0 + logvar - mu ** 2 - jnp.exp(logvar))
+
+
 def instance_average(features: jnp.ndarray, inst_slots: jnp.ndarray,
                      max_instances: int) -> jnp.ndarray:
     """Instance-wise average pooling (networks.py:310-326, vectorized).

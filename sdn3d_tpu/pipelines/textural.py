@@ -23,9 +23,11 @@ import numpy as np
 import optax
 
 from sdn3d_tpu.models.pix2pixhd import (
-    Encoder, GlobalGenerator, MultiscaleDiscriminator, get_edges,
-    instance_average, gan_loss_lsgan, feature_matching_loss)
+    Encoder, GlobalEncoder, GlobalGenerator, MultiscaleDiscriminator,
+    get_edges, instance_average, gan_loss_lsgan, feature_matching_loss,
+    kl_loss, reparameterize)
 from sdn3d_tpu.models.vgg import Vgg19Features, vgg_loss
+from sdn3d_tpu.utils.image_pool import ImagePool
 
 
 @dataclasses.dataclass(frozen=True)
@@ -52,6 +54,18 @@ class TexturalConfig:
     beta1: float = 0.5
     use_vgg_loss: bool = True
     max_instances: int = 64
+    # Global-encoder VAE option (pix2pixHD_model.py:190-198,235-237; off by
+    # default per base_options.py:65): a resnet encoder maps the real image
+    # to an nz-dim latent, the reparameterized sample is broadcast as nz
+    # extra netG channels, and a KL term (weight lambda_kl,
+    # train_options.py:39) is added to the G objective.
+    use_global_encoder: bool = False
+    global_encoder_nz: int = 3
+    global_encoder_nef: int = 64
+    lambda_kl: float = 0.01
+    # GAN history buffer for the D fake loss (pix2pixHD_model.py:171,202;
+    # size 0 = pass-through, the reference default train_options.py:35)
+    pool_size: int = 0
     # computation dtype for G/D/E convs ("bfloat16" ~5x faster on v5e;
     # params, norms and losses stay float32)
     compute_dtype: str = "float32"
@@ -68,6 +82,8 @@ class TexturalConfig:
             nc += 3
         if self.feat_depth:
             nc += 1
+        if self.use_global_encoder:
+            nc += self.global_encoder_nz   # pix2pixHD_model.py:41-42
         return nc
 
     @property
@@ -124,6 +140,9 @@ class TexturalState:
     vgg: Any
     opt_g: Any
     opt_d: Any
+    # global-encoder (netGlobalE) params; empty dict unless
+    # cfg.use_global_encoder
+    params_ge: Any = flax.struct.field(default_factory=dict)
 
 
 @dataclasses.dataclass
@@ -139,6 +158,10 @@ class TexturalTrainer:
         self.netD = MultiscaleDiscriminator(c.ndf, c.n_layers_d, c.num_d,
                                             dtype=dt)
         self.netE = Encoder(c.feat_num, c.nef, c.n_downsample_e, dtype=dt)
+        self.netGlobalE = (GlobalEncoder(c.global_encoder_nz,
+                                         c.global_encoder_nef, dtype=dt)
+                           if c.use_global_encoder else None)
+        self.fake_pool = ImagePool(c.pool_size)
         self.tx_g = optax.adam(c.lr, b1=c.beta1, b2=0.999)
         self.tx_d = optax.adam(c.lr, b1=c.beta1, b2=0.999)
         # jit-cached inference entry points (eager flax apply dispatches
@@ -147,6 +170,9 @@ class TexturalTrainer:
         self.encode_features_jit = jax.jit(
             lambda params_e, image: self.netE.apply({"params": params_e},
                                                     image))
+        self._generate_concat_jit = jax.jit(
+            lambda state, batch, rng=None: self._generate(
+                state.params_g, state.params_e, batch, state.params_ge, rng))
 
     def init(self, rng: jax.Array, height: int = 192, width: int = 624
              ) -> TexturalState:
@@ -159,16 +185,28 @@ class TexturalTrainer:
         pe = self.netE.init(ke, jnp.zeros((1, height, width,
                                            c.output_nc)))["params"]
         vgg = Vgg19Features().init(kv, jnp.zeros((1, 64, 64, 3)))
-        params_ge = {"g": pg, "e": pe}
+        pge = {}
+        if c.use_global_encoder:
+            kge = jax.random.fold_in(kv, 1)
+            pge = self.netGlobalE.init(
+                kge, jnp.zeros((1, height, width, c.output_nc)))["params"]
+        # netGlobalE params ride the G optimizer (pix2pixHD_model.py:111-113)
         return TexturalState(
             step=jnp.zeros((), jnp.int32),
             params_g=pg, params_d=pd, params_e=pe, vgg=vgg,
-            opt_g=self.tx_g.init({"g": pg, "e": pe}),
+            opt_g=self.tx_g.init({"g": pg, "e": pe, "ge": pge}),
             opt_d=self.tx_d.init(pd),
+            params_ge=pge,
         )
 
-    def _generate(self, params_g, params_e, batch: Dict[str, jnp.ndarray]
-                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def _generate(self, params_g, params_e, batch: Dict[str, jnp.ndarray],
+                  params_ge=None, rng: Optional[jax.Array] = None
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, Tuple]:
+        """-> (fake, input_label, (mu, logvar) or (None, None)).
+
+        With use_global_encoder: encode the real image to (mu, logvar),
+        sample z and broadcast it over H x W as extra netG channels
+        (pix2pixHD_model.py:192-198)."""
         c = self.cfg
         input_label = encode_input(c, batch["label"], batch["inst"])
         feats = self.netE.apply({"params": params_e}, batch["image"])
@@ -177,17 +215,29 @@ class TexturalTrainer:
         g_in = assemble_generator_input(
             c, input_label, feat_map, batch.get("pose"),
             batch.get("normal"), batch.get("depth"))
+        mu = logvar = None
+        if c.use_global_encoder:
+            mu, logvar = self.netGlobalE.apply({"params": params_ge},
+                                               batch["image"])
+            z = reparameterize(mu, logvar, rng) if rng is not None else mu
+            B, H, W, _ = g_in.shape
+            zmap = jnp.broadcast_to(z[:, None, None, :],
+                                    (B, H, W, c.global_encoder_nz))
+            g_in = jnp.concatenate([g_in, zmap], axis=-1)
         fake = self.netG.apply({"params": params_g}, g_in)
-        return fake, input_label
+        return fake, input_label, (mu, logvar)
 
     def make_g_step(self):
-        """Generator(+encoder) update (train.py:86-90)."""
-        def g_step(state: TexturalState, batch: Dict[str, jnp.ndarray]
+        """Generator(+encoders) update (train.py:86-90).  `rng` drives the
+        global-encoder z sample; required when cfg.use_global_encoder."""
+        def g_step(state: TexturalState, batch: Dict[str, jnp.ndarray],
+                   rng: Optional[jax.Array] = None
                    ) -> Tuple[TexturalState, Dict[str, jnp.ndarray]]:
             c = self.cfg
 
             def loss_fn(p):
-                fake, input_label = self._generate(p["g"], p["e"], batch)
+                fake, input_label, (mu, logvar) = self._generate(
+                    p["g"], p["e"], batch, p["ge"], rng)
                 pred_fake = self.netD.apply(
                     {"params": state.params_d},
                     jnp.concatenate([input_label, fake], axis=-1))
@@ -205,31 +255,51 @@ class TexturalTrainer:
                     loss_vgg = c.lambda_feat * vgg_loss(state.vgg, fake,
                                                         batch["image"])
                 total = loss_gan + loss_feat + loss_l1 + loss_vgg
-                return total, {"G_GAN": loss_gan, "G_GAN_Feat": loss_feat,
-                               "G_L1": loss_l1, "G_VGG": loss_vgg}
+                aux = {"G_GAN": loss_gan, "G_GAN_Feat": loss_feat,
+                       "G_L1": loss_l1, "G_VGG": loss_vgg}
+                if c.use_global_encoder:
+                    # KL(q(z|x) || N(0,1)) * lambda_KL
+                    # (pix2pixHD_model.py:235-238, train_options.py:39)
+                    loss_kl = c.lambda_kl * kl_loss(mu, logvar)
+                    total = total + loss_kl
+                    aux["E_VAE"] = loss_kl
+                return total, aux
 
-            params = {"g": state.params_g, "e": state.params_e}
+            params = {"g": state.params_g, "e": state.params_e,
+                      "ge": state.params_ge}
             grads, losses = jax.grad(loss_fn, has_aux=True)(params)
             updates, opt_g = self.tx_g.update(grads, state.opt_g, params)
             new = optax.apply_updates(params, updates)
             return dataclasses.replace(
                 state, step=state.step + 1, params_g=new["g"],
-                params_e=new["e"], opt_g=opt_g), losses
+                params_e=new["e"], params_ge=new["ge"], opt_g=opt_g), losses
 
         return g_step
 
     def make_d_step(self):
-        """Discriminator update (train.py:92-95)."""
-        def d_step(state: TexturalState, batch: Dict[str, jnp.ndarray]
+        """Discriminator update (train.py:92-95).
+
+        `fake_concat` (optional [B, H, W, label+edge+3]) is a precomputed —
+        possibly history-pooled (pix2pixHD_model.py:171) — conditioning‖fake
+        stack for the D fake branch; when None the current G output is used
+        (the pool_size=0 default).  Pool usage lives OUTSIDE jit: see
+        `pooled_fake_concat`."""
+        def d_step(state: TexturalState, batch: Dict[str, jnp.ndarray],
+                   rng: Optional[jax.Array] = None,
+                   fake_concat: Optional[jnp.ndarray] = None
                    ) -> Tuple[TexturalState, Dict[str, jnp.ndarray]]:
-            fake, input_label = self._generate(state.params_g,
-                                               state.params_e, batch)
-            fake = jax.lax.stop_gradient(fake)
+            if fake_concat is None:
+                fake, input_label, _ = self._generate(
+                    state.params_g, state.params_e, batch,
+                    state.params_ge, rng)
+                fake_concat = jnp.concatenate([input_label, fake], axis=-1)
+            else:
+                input_label = encode_input(self.cfg, batch["label"],
+                                           batch["inst"])
+            fake_concat = jax.lax.stop_gradient(fake_concat)
 
             def loss_fn(pd):
-                pred_fake = self.netD.apply(
-                    {"params": pd},
-                    jnp.concatenate([input_label, fake], axis=-1))
+                pred_fake = self.netD.apply({"params": pd}, fake_concat)
                 pred_real = self.netD.apply(
                     {"params": pd},
                     jnp.concatenate([input_label, batch["image"]], axis=-1))
@@ -250,10 +320,14 @@ class TexturalTrainer:
 
     def fake_inference(self, state: TexturalState,
                        batch: Dict[str, jnp.ndarray],
-                       feat_map: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                       feat_map: Optional[jnp.ndarray] = None,
+                       rng: Optional[jax.Array] = None) -> jnp.ndarray:
         """Edit-time generation (pix2pixHD_model.py:248-280): condition on a
         precomputed per-pixel feat map (from source-image codes) or run the
-        encoder on the given image."""
+        encoder on the given image.  With use_global_encoder the z sample
+        is drawn from the image's posterior — the reference samples eps at
+        inference too (pix2pixHD_model.py:265-271); pass rng=None to use the
+        posterior mean instead."""
         c = self.cfg
         input_label = encode_input(c, batch["label"], batch["inst"])
         if feat_map is None:
@@ -264,4 +338,23 @@ class TexturalTrainer:
         g_in = assemble_generator_input(
             c, input_label, feat_map, batch.get("pose"),
             batch.get("normal"), batch.get("depth"))
+        if c.use_global_encoder:
+            mu, logvar = self.netGlobalE.apply({"params": state.params_ge},
+                                               batch["image"])
+            z = reparameterize(mu, logvar, rng) if rng is not None else mu
+            B, H, W, _ = g_in.shape
+            zmap = jnp.broadcast_to(z[:, None, None, :],
+                                    (B, H, W, c.global_encoder_nz))
+            g_in = jnp.concatenate([g_in, zmap], axis=-1)
         return self.netG.apply({"params": state.params_g}, g_in)
+
+    def pooled_fake_concat(self, state: TexturalState,
+                           batch: Dict[str, jnp.ndarray],
+                           rng: Optional[jax.Array] = None) -> jnp.ndarray:
+        """Generate the conditioning‖fake stack and query the (host-side)
+        history pool — the use_pool=True path of the reference's
+        discriminate() (pix2pixHD_model.py:168-174).  Call OUTSIDE jit and
+        pass the result to d_step as fake_concat."""
+        fake, input_label, _ = self._generate_concat_jit(state, batch, rng)
+        concat = np.asarray(jnp.concatenate([input_label, fake], axis=-1))
+        return jnp.asarray(self.fake_pool.query(concat))

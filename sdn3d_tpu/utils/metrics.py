@@ -63,3 +63,33 @@ def dssim(p0: np.ndarray, p1: np.ndarray,
           value_range: float = 255.0) -> float:
     """(1 - multichannel SSIM) / 2 (util2.py:56-58)."""
     return (1.0 - ssim(p0, p1, data_range=value_range)) / 2.0
+
+
+_LPIPS_VARS = None
+
+
+def lpips(p0: np.ndarray, p1: np.ndarray, value_range: float = 255.0,
+          variables=None) -> float:
+    """LPIPS perceptual distance (models/lpips.py; VGG16 variant).
+
+    p0/p1: [H, W, 3] (or [B, H, W, 3]) in [0, value_range].  Pass ported
+    variables (utils.port.port_lpips) for the calibrated metric; defaults
+    to a process-wide randomly-initialized backbone (deterministic seed),
+    which is still a valid multi-scale perceptual distance but is not
+    calibrated to human judgments (no egress for the official weights).
+    """
+    import jax.numpy as jnp
+
+    from sdn3d_tpu.models.lpips import init_lpips, lpips as lpips_fn
+
+    global _LPIPS_VARS
+    if variables is None:
+        if _LPIPS_VARS is None:
+            _LPIPS_VARS = init_lpips()
+        variables = _LPIPS_VARS
+    x = np.asarray(p0, np.float32) / value_range * 2.0 - 1.0
+    y = np.asarray(p1, np.float32) / value_range * 2.0 - 1.0
+    if x.ndim == 3:
+        x, y = x[None], y[None]
+    d = lpips_fn(variables, jnp.asarray(x), jnp.asarray(y))
+    return float(np.asarray(d).mean())

@@ -278,3 +278,58 @@ def port_maskrcnn(sd, stage_sizes=(3, 4, 23, 3)) -> dict:
     P["mask"]["conv5"] = _conv(sd, "mask.conv5")
 
     return {"params": P, "batch_stats": S}
+
+
+# ---------------------------------------------------------------------------
+# VGG feature extractors (perceptual loss + LPIPS)
+# ---------------------------------------------------------------------------
+
+def port_vgg19(sd) -> dict:
+    """torchvision vgg19 state_dict -> Vgg19Features variables.
+
+    Only the conv layers up to relu5_1 (features.0 .. features.30) are
+    used (textural/models/networks.py:467-486).  Keys may be the full
+    torchvision dict ('features.N.weight') or already stripped."""
+    sd = _to_np(sd)
+    # torchvision vgg19 conv layer indices within .features
+    conv_feature_idx = [0, 2, 5, 7, 10, 12, 14, 16,
+                        19, 21, 23, 25, 28, 30, 32, 34]
+    P = {}
+    for conv_idx, feat_idx in enumerate(conv_feature_idx):
+        key = f"features.{feat_idx}.weight"
+        if key not in sd and f"{feat_idx}.weight" in sd:
+            key = f"{feat_idx}.weight"
+        if key not in sd:
+            break          # only the tapped prefix is required
+        name = key[:-len(".weight")]
+        P[f"conv{conv_idx}"] = _conv(sd, name)
+    return {"params": P}
+
+
+def port_lpips(sd) -> dict:
+    """Official `lpips` package checkpoint (vgg variant) -> LPIPS variables.
+
+    Layout: 'net.slice{k}.{i}.weight' torchvision vgg16 convs (or a plain
+    torchvision vgg16 'features.N.*' dict passed as `sd['net']`), plus
+    'lin{k}.model.1.weight' [1, C, 1, 1] non-negative linear heads."""
+    sd = _to_np(sd)
+    # map flat vgg16 conv index -> torchvision features index
+    conv_feature_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    P = {"net": {}}
+    for conv_idx, feat_idx in enumerate(conv_feature_idx):
+        for pat in (f"net.features.{feat_idx}", f"features.{feat_idx}",
+                    f"net.{feat_idx}"):
+            if f"{pat}.weight" in sd:
+                P["net"][f"conv{conv_idx}"] = _conv(sd, pat)
+                break
+        else:
+            # official checkpoints store slices: net.slice{s}.{feat_idx}
+            s = 1 + sum(feat_idx >= b for b in (4, 9, 16, 23))
+            pat = f"net.slice{s}.{feat_idx}"
+            if f"{pat}.weight" in sd:
+                P["net"][f"conv{conv_idx}"] = _conv(sd, pat)
+    for k in range(5):
+        key = f"lin{k}.model.1.weight"
+        if key in sd:
+            P[f"lin{k}"] = np.asarray(sd[key]).reshape(-1)
+    return {"params": P}

@@ -70,6 +70,54 @@ def test_netG_input_channels():
     assert cfg2.netG_input_nc == 49
 
 
+def test_global_encoder_vae_path(setup):
+    """use_global_encoder: z conditioning channels + KL loss + netGlobalE
+    params training (pix2pixHD_model.py:190-198,235-238)."""
+    trainer0, _, batch = setup
+    cfg = dataclasses.replace(trainer0.cfg, use_global_encoder=True,
+                              global_encoder_nef=8)
+    assert cfg.netG_input_nc == trainer0.cfg.netG_input_nc + 3
+    trainer = TexturalTrainer(cfg)
+    state = trainer.init(jax.random.PRNGKey(0), 48, 64)
+    assert state.params_ge, "netGlobalE params missing"
+
+    g_step = jax.jit(trainer.make_g_step())
+    rng = jax.random.PRNGKey(7)
+    state1, losses = g_step(state, batch, rng)
+    assert "E_VAE" in losses and np.isfinite(float(losses["E_VAE"]))
+    dge = jax.tree_util.tree_reduce(
+        lambda a, b: a + float(jnp.abs(b).sum()),
+        jax.tree_util.tree_map(lambda a, b: a - b, state1.params_ge,
+                               state.params_ge), 0.0)
+    assert dge > 0, "netGlobalE did not train"
+
+    # d step with z-sampled fake; inference sampled vs posterior-mean differ
+    d_step = jax.jit(trainer.make_d_step())
+    state2, d_losses = d_step(state1, batch, rng)
+    assert np.isfinite(float(d_losses["D_fake"]))
+    out_mean = trainer.fake_inference(state1, batch)
+    out_sampled = trainer.fake_inference(state1, batch,
+                                         rng=jax.random.PRNGKey(3))
+    assert out_mean.shape == (1, 48, 64, 3)
+    assert float(jnp.abs(out_mean - out_sampled).max()) > 0
+
+
+def test_image_pool_wiring(setup):
+    """pool_size > 0 routes a history-pooled conditioning‖fake stack into
+    the D fake loss (pix2pixHD_model.py:168-174)."""
+    trainer0, _, batch = setup
+    cfg = dataclasses.replace(trainer0.cfg, pool_size=4)
+    trainer = TexturalTrainer(cfg)
+    state = trainer.init(jax.random.PRNGKey(0), 48, 64)
+    d_step = jax.jit(trainer.make_d_step())
+    for i in range(3):
+        fc = trainer.pooled_fake_concat(state, batch)
+        assert fc.shape == (1, 48, 64, cfg.netD_input_nc)
+        state, losses = d_step(state, batch, None, fc)
+        assert np.isfinite(float(losses["D_fake"])), i
+    assert len(trainer.fake_pool.images) >= 1
+
+
 def test_encode_input_shapes(setup):
     trainer, state, batch = setup
     x = encode_input(trainer.cfg, batch["label"], batch["inst"])
