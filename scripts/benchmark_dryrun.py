@@ -1,0 +1,127 @@
+"""Run the FULL 92-pair VKITTI edit-benchmark protocol end-to-end on a
+synthetic on-disk fixture, timing all three stages.
+
+Chain (README.md:153-189 protocol):
+  1. semantic_test  --test_img benchmark      (92 source label PNGs)
+  2. geometric_main --source gt --edit_json   (92 edited 2.5D map sets)
+  3. edit_benchmark                            (92 regenerations + L1/LPIPS)
+
+The fixture (scripts/make_vkitti_fixture.py) is a real-layout VKITTI
+replica, so this locks the whole harness — file contracts, naming, GT
+decoding, op matching — and yields an honest per-stage wall-clock for the
+edits/sec headline (cli/edit_benchmark.py --chain_times).
+
+Usage:
+  python scripts/benchmark_dryrun.py [--limit N] [--out benchmark_dryrun.json]
+        [--compute_dtype bfloat16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+EDIT_JSON = "/root/reference/assets/vkitti_edit_benchmark.json"
+
+
+def run(cmd, env=None):
+    print("+", " ".join(cmd), flush=True)
+    e = dict(os.environ)
+    e["PYTHONPATH"] = REPO + os.pathsep + e.get("PYTHONPATH", "")
+    if env:
+        e.update(env)
+    t0 = time.perf_counter()
+    subprocess.run(cmd, check=True, env=e, cwd=REPO)
+    return time.perf_counter() - t0
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--work", default="/tmp/sdn3d_benchmark_dryrun")
+    ap.add_argument("--limit", type=int, default=None,
+                    help="run only the first N edit pairs (smoke mode)")
+    ap.add_argument("--out", default=os.path.join(REPO,
+                                                  "benchmark_dryrun.json"))
+    ap.add_argument("--compute_dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"])
+    args = ap.parse_args()
+
+    work = args.work
+    os.makedirs(work, exist_ok=True)
+    fixture = os.path.join(work, "vkitti")
+    segm_dir = os.path.join(work, "segm")
+    geo_dir = os.path.join(work, "geo")
+    tex_dir = os.path.join(work, "tex")
+
+    with open(EDIT_JSON) as f:
+        items = json.load(f)
+    n_pairs = len(items) // 2
+    if args.limit:
+        n_pairs = min(args.limit, n_pairs)
+        # keep the two-half structure: first n edit items + their
+        # reconstruction twins
+        items = items[:n_pairs] + items[len(items) // 2:
+                                        len(items) // 2 + n_pairs]
+    full_json = os.path.join(work, "benchmark.json")
+    with open(full_json, "w") as f:
+        json.dump(items, f)
+    # geometric processes exactly the 92 edit entries (first half)
+    geo_json = os.path.join(work, "benchmark_edits.json")
+    with open(geo_json, "w") as f:
+        json.dump(items[:n_pairs], f)
+
+    py = sys.executable
+    times = {}
+
+    times["fixture_s"] = run([
+        py, os.path.join(REPO, "scripts/make_vkitti_fixture.py"),
+        fixture, full_json])
+
+    times["semantic_s"] = run([
+        py, "-m", "sdn3d_tpu.cli.semantic_test",
+        "--test_img", "benchmark", "--edit_json", full_json,
+        "--data_root", fixture, "--result", segm_dir,
+        "--compute_dtype", args.compute_dtype])
+
+    times["geometric_s"] = run([
+        py, "-m", "sdn3d_tpu.cli.geometric_main",
+        "--do", "test", "--mode", "extend", "--source", "gt",
+        "--vkitti_root", fixture, "--edit_json", geo_json,
+        "--output_dir", geo_dir,
+        "--shapenet_root", "/root/reference/geometric/assets",
+        "--compute_dtype", args.compute_dtype])
+
+    chain_file = os.path.join(work, "chain_times.json")
+    with open(chain_file, "w") as f:
+        json.dump({"semantic_s": times["semantic_s"],
+                   "geometric_s": times["geometric_s"]}, f)
+
+    times["textural_s"] = run([
+        py, "-m", "sdn3d_tpu.cli.edit_benchmark",
+        "--edit_json", full_json, "--data_root", fixture,
+        "--segm_dir", segm_dir, "--geo_dir", geo_dir,
+        "--results_dir", tex_dir, "--chain_times", chain_file])
+
+    with open(os.path.join(tex_dir, "benchmark.json")) as f:
+        bench = json.load(f)
+
+    out = {
+        "pairs": n_pairs,
+        "stage_wall_s": {k: round(v, 2) for k, v in times.items()},
+        "result": bench,
+        "note": ("synthetic-fixture protocol dryrun: random weights, "
+                 "fixture frames; locks the 3-stage harness + honest "
+                 "end-to-end wall-clock, NOT image quality"),
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

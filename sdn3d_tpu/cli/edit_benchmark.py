@@ -29,6 +29,11 @@ def build_argparser():
     p.add_argument("--load_size", type=int, default=624)
     p.add_argument("--fine_width", type=int, default=624)
     p.add_argument("--fine_height", type=int, default=192)
+    p.add_argument("--chain_times", default=None,
+                   help="JSON file with upstream wall-clock "
+                        '{"semantic_s": S, "geometric_s": S} so the '
+                        "headline edits/sec covers the WHOLE 3-stage "
+                        "protocol, not just textural regeneration")
     return p
 
 
@@ -66,10 +71,11 @@ def main(argv=None):
         target_t = transform_image(Image.open(tgt).convert("RGB"),
                                    args.load_size, wh)
 
-        # geometric outputs are stored per target name
+        # geometric outputs are stored per target name (what
+        # geometric_main's edit_json mode writes)
         fake, maps = generate_edit_frame(
             trainer, state, base_img_t, base_label, args.geo_dir,
-            int(item.target), wh, args)
+            item.target_name, wh, args)
 
         l1 = float(np.abs(fake - target_t).mean())
         l1s.append(l1)
@@ -85,8 +91,21 @@ def main(argv=None):
         "mean_L1": float(np.mean(l1s)),
         "mean_LPIPS": float(np.mean(lpipss)),
         "pairs": len(l1s),
-        "edits_per_sec": len(l1s) / dt,
+        "textural_s": dt,
+        "textural_edits_per_sec": len(l1s) / dt,
     }
+    if args.chain_times:
+        with open(args.chain_times) as f:
+            upstream = json.load(f)
+        result.update(upstream)
+        total = dt + sum(v for k, v in upstream.items() if k.endswith("_s"))
+        result["chain_s"] = total
+        # the honest headline: all three stages per edit
+        result["edits_per_sec"] = len(l1s) / total
+    else:
+        # without upstream times the textural-only rate is NOT comparable
+        # to the reference's end-to-end protocol; keep the name explicit.
+        result["edits_per_sec"] = None
     with open(os.path.join(args.results_dir, "benchmark.json"), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))

@@ -56,7 +56,9 @@ def load_trainer(args):
 def generate_edit_frame(trainer, state, base_img_t, base_label,
                         edit_dir, index, wh, args):
     """Assemble one edit frame's conditioning + generate
-    (edit_vkitti.py:63-107)."""
+    (edit_vkitti.py:63-107).  `index` is the geometric output stem: an int
+    (zero-padded, the example-edit layout) or a string (benchmark
+    target_name layout)."""
     import jax.numpy as jnp
     from PIL import Image
 
@@ -64,13 +66,14 @@ def generate_edit_frame(trainer, state, base_img_t, base_label,
         assemble_condition_maps, dense_instance_slots, transform_image)
     from sdn3d_tpu.models.pix2pixhd import instance_feature_means
 
+    stem = f"{index:05d}" if isinstance(index, int) else index
     inst_png = np.asarray(transform_image(
-        Image.open(os.path.join(edit_dir, f"{index:05d}.png")),
+        Image.open(os.path.join(edit_dir, f"{stem}.png")),
         args.load_size, wh, nearest=True, normalize=False) * 255.0
     ).astype(np.int32)[..., 0]
-    with open(os.path.join(edit_dir, f"{index:05d}.json")) as f:
+    with open(os.path.join(edit_dir, f"{stem}.json")) as f:
         json_obj = json.load(f)
-    normal_path = os.path.join(edit_dir, f"{index:05d}-normal.png")
+    normal_path = os.path.join(edit_dir, f"{stem}-normal.png")
     normal_png = None
     if os.path.exists(normal_path):
         normal_png = np.asarray(transform_image(

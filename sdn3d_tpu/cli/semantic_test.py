@@ -76,17 +76,20 @@ def main(argv=None):
         from sdn3d_tpu.data.vkitti import load_edit_json, benchmark_split
         assert args.edit_json and args.data_root
         items = benchmark_split(load_edit_json(args.edit_json))
-        names = [(i.world, i.topic, i.source) for i in items]
-        paths = sorted({
-            os.path.join(args.data_root, "vkitti_1.3.1_rgb", w, t,
-                         f"{s}.png") for (w, t, s) in names})
+        # output stem = item.source_name (world_topic_frame): what the
+        # downstream edit CLIs look up, and collision-free across
+        # worlds/topics that reuse frame numbers.
+        work = sorted({
+            (i.source_name,
+             os.path.join(args.data_root, "vkitti_1.3.1_rgb", i.world,
+                          i.topic, f"{i.source}.png")) for i in items})
     else:
-        paths = [args.test_img]
+        stem = os.path.splitext(os.path.basename(args.test_img))[0]
+        work = [(stem, args.test_img)]
 
-    for path in paths:
+    for stem, path in work:
         image = np.asarray(Image.open(path).convert("RGB"))
         pred = infer_image(model, variables, image, args)
-        stem = os.path.splitext(os.path.basename(path))[0]
         Image.fromarray(pred).save(os.path.join(args.result, f"{stem}.png"))
         Image.fromarray(tensor2label(pred, args.num_class)).save(
             os.path.join(args.result, f"{stem}_color.png"))

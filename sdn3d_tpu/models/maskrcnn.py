@@ -352,7 +352,13 @@ class MaskHead(nn.Module):
         for k in range(1, 5):
             x = nn.Conv(256, (3, 3), padding="SAME", dtype=self.dtype, name=f"conv{k}")(x)
             x = nn.relu(norm(f"bn{k}")(x))
-        x = nn.ConvTranspose(256, (2, 2), strides=(2, 2), dtype=self.dtype, name="deconv")(x)
+        # transpose_kernel=True: torch ConvTranspose2d semantics, matching
+        # the port's [I, O, kh, kw] -> [kh, kw, O, I] conversion (caught by
+        # test_maskrcnn_full_detect_parity — without it the ported deconv
+        # weights are spatially flipped with I/O swapped).
+        x = nn.ConvTranspose(256, (2, 2), strides=(2, 2),
+                             transpose_kernel=True, dtype=self.dtype,
+                             name="deconv")(x)
         x = nn.relu(x)
         x = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
                     name="conv5")(x)
@@ -376,6 +382,9 @@ def refine_detections(rois: jnp.ndarray, probs: jnp.ndarray,
     class_scores = probs[idx, class_ids]
     deltas_specific = deltas[idx, class_ids]
 
+    # reference quirk kept: refine_detections scales head deltas by
+    # RPN_BBOX_STD_DEV, not BBOX_STD_DEV (model.py:772) — identical values
+    # by default, but the faithful choice if configured apart.
     std = jnp.asarray(config.rpn_bbox_std_dev)
     refined = apply_box_deltas(rois, deltas_specific * std)
     h, w = config.image_shape[:2]

@@ -109,12 +109,17 @@ def rasterize_face_maps(
     return_face_inv: bool = True,
     return_weights: bool = True,
     impl: str = "auto",
+    version: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Forward rasterization to per-pixel maps (non-differentiable primitive).
 
     faces: [B, F, 3, 3]; face_valid: [B, F] bool or None.
     impl: "pallas" (tiled TPU kernel), "xla" (portable scan), or "auto"
     (pallas on TPU when the size is tile-aligned).
+    version: pallas kernel version override (None = SDN3D_RASTER_KERNEL
+    env default).  version=1 is the bit-exact parity mode: per-pixel
+    cross-product edge math identical to the XLA path; v3's reassociated
+    edge coefficients flip ~1e-4 of boundary pixels on large meshes.
     Returns (face_index [B,H,W] int32 (-1 = background),
              weight     [B,H,W,3],
              depth      [B,H,W]  (background = far),
@@ -129,7 +134,8 @@ def rasterize_face_maps(
         impl = "pallas" if (on_tpu and image_size % 128 == 0) else "xla"
     if impl in ("pallas", "pallas_interp"):
         from sdn3d_tpu.ops import rasterize_pallas as RP
-        version = RP.KERNEL_VERSION
+        if version is None:
+            version = RP.KERNEL_VERSION
         packed, aux, chunk_bbox, perm = RP.pack_faces(
             faces, face_valid, image_size, version=version)
         fi, depth = RP.rasterize_face_index_pallas(
@@ -698,7 +704,7 @@ def _depth_grad(
 # ---------------------------------------------------------------------------
 
 def _rasterize_sorted(faces, face_valid, image_size: int, near: float,
-                      far: float):
+                      far: float, version: Optional[int] = None):
     """(hit map, depth, perm) in Morton-SORTED face space (TPU pallas
     path), or (hit map, depth, None) in original space elsewhere.
 
@@ -711,7 +717,8 @@ def _rasterize_sorted(faces, face_valid, image_size: int, near: float,
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if on_tpu and image_size % 128 == 0:
         from sdn3d_tpu.ops import rasterize_pallas as RP
-        version = RP.KERNEL_VERSION
+        if version is None:
+            version = RP.KERNEL_VERSION
         packed, aux, chunk_bbox, perm = RP.pack_faces(
             faces, face_valid, image_size, version=version)
         fi, depth = RP.rasterize_face_index_pallas(
@@ -725,16 +732,16 @@ def _rasterize_sorted(faces, face_valid, image_size: int, near: float,
 
 @functools.lru_cache(maxsize=None)
 def _make_silhouette_fn(image_size: int, near: float, far: float, eps: float,
-                        walk: int = 0):
+                        walk: int = 0, version: Optional[int] = None):
     @jax.custom_vjp
     def sil(faces, face_valid):
         fi, _, _ = _rasterize_sorted(faces, face_valid, image_size, near,
-                                     far)
+                                     far, version)
         return (fi >= 0).astype(_f32)
 
     def fwd(faces, face_valid):
         fi, _, perm = _rasterize_sorted(faces, face_valid, image_size,
-                                        near, far)
+                                        near, far, version)
         alpha = (fi >= 0).astype(_f32)
         return alpha, (faces, face_valid, fi, perm, alpha)
 
@@ -765,16 +772,17 @@ def _make_silhouette_fn(image_size: int, near: float, far: float, eps: float,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_depth_fn(image_size: int, near: float, far: float):
+def _make_depth_fn(image_size: int, near: float, far: float,
+                   version: Optional[int] = None):
     @jax.custom_vjp
     def dep(faces, face_valid):
         _, _, d, _ = rasterize_face_maps(
-            faces, face_valid, image_size, near, far)
+            faces, face_valid, image_size, near, far, version=version)
         return d
 
     def fwd(faces, face_valid):
         fi, w, d, inv = rasterize_face_maps(
-            faces, face_valid, image_size, near, far)
+            faces, face_valid, image_size, near, far, version=version)
         return d, (faces, face_valid, fi, d, w, inv)
 
     def bwd(res, g):
@@ -806,18 +814,21 @@ def rasterize_silhouettes(
     far: float = DEFAULT_FAR,
     eps: float = DEFAULT_EPS,
     grad_walk: int = 0,
+    kernel_version: Optional[int] = None,
 ) -> jnp.ndarray:
     """Alpha maps [B, H, W] (rasterize.py:1008-1031): 2x supersampled when
     anti_aliasing, vertically flipped, average-pooled.
 
     grad_walk: out-walk window for the approximate silhouette gradient;
     0 = exact reference semantics (walk to the border).  Large training
-    renders should pass ~48-64 (contributions decay as 1/dist)."""
+    renders should pass ~48-64 (contributions decay as 1/dist).
+    kernel_version: pallas kernel override; 1 = bit-exact parity mode
+    (matches the XLA path exactly), None = env/default (v3, fast)."""
     size = image_size * 2 if anti_aliasing else image_size
     if face_valid is None:
         face_valid = jnp.ones(faces.shape[:2], bool)
-    alpha = _make_silhouette_fn(size, near, far, eps,
-                                grad_walk)(faces, face_valid)
+    alpha = _make_silhouette_fn(size, near, far, eps, grad_walk,
+                                kernel_version)(faces, face_valid)
     alpha = _flip_rows(alpha, 1)
     if anti_aliasing:
         alpha = _avg_pool2(alpha)
@@ -831,12 +842,13 @@ def rasterize_depth(
     anti_aliasing: bool = DEFAULT_ANTI_ALIASING,
     near: float = DEFAULT_NEAR,
     far: float = DEFAULT_FAR,
+    kernel_version: Optional[int] = None,
 ) -> jnp.ndarray:
     """Depth maps [B, H, W]; background = far (rasterize.py:1034-1057)."""
     size = image_size * 2 if anti_aliasing else image_size
     if face_valid is None:
         face_valid = jnp.ones(faces.shape[:2], bool)
-    d = _make_depth_fn(size, near, far)(faces, face_valid)
+    d = _make_depth_fn(size, near, far, kernel_version)(faces, face_valid)
     d = _flip_rows(d, 1)
     if anti_aliasing:
         d = _avg_pool2(d)

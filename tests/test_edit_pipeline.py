@@ -172,6 +172,81 @@ def test_interactive_editor():
     assert not (st.inst == 2000).any()
 
 
+def test_ui_model_click_surface():
+    """ui_model.py click/brush/undo/style ops (load_state, EditSession,
+    change_labels_click, add_strokes, add_objects_click, style_forward)."""
+    from sdn3d_tpu.pipelines.interactive import (
+        EditSession, add_objects_click, add_strokes, change_labels_click,
+        get_crop_region, load_state, stroke_region, style_forward, to_batch)
+
+    H, W = 32, 48
+    label = np.full((H, W), 5, np.int32)
+    inst = np.full((H, W), 5, np.int32)
+    label[8:16, 8:20] = 2
+    inst[8:16, 8:20] = 2001          # a car instance
+    clusters = {2: np.arange(15, dtype=np.float32).reshape(3, 5),
+                5: np.zeros((2, 5), np.float32),
+                6: np.full((2, 5), 7.0, np.float32)}
+    st = load_state(label, inst, clusters)
+    # seeded cluster pick: same seed -> same row every load (ui_model:82-84)
+    st2 = load_state(label, inst, clusters)
+    np.testing.assert_allclose(st.feat_codes[2001], st2.feat_codes[2001])
+    assert 5 in st.feat_codes
+
+    sess = EditSession(st)
+    # click-driven label swap: the car takes the road's label; a road
+    # (non-instanced) target keeps its plain id
+    sess.apply(change_labels_click, (10, 10), (30, 40))
+    assert (sess.state.label[8:16, 8:20] == 5).all()
+    assert not (sess.state.inst == 2001).any()
+    sess.undo()
+    assert (sess.state.inst[10, 10] == 2001)
+
+    # instanced target allocates a fresh id in the class band (:138-142)
+    label2 = label.copy(); inst2 = inst.copy()
+    label2[20:24, 30:40] = 2; inst2[20:24, 30:40] = 2002
+    st3 = load_state(label2, inst2, clusters)
+    out = change_labels_click(st3, (30, 3), (10, 10))   # road -> car class
+    new_id = int(out.inst[30, 3])
+    assert new_id > 2002 and out.label[30, 3] == 2
+    # the moved region keeps its own (road) texture code
+    np.testing.assert_allclose(out.feat_codes[new_id], st3.feat_codes[5])
+
+    # square brush, edge-clamped
+    r = stroke_region((H, W), (0, 0), 4)
+    assert r[:4, :4].all() and r.sum() == 16
+    out = add_strokes(st3, (5, 5), 6, 4, clusters, cluster_idx=1)
+    assert (out.label[3:7, 3:7] == 6).all()
+    np.testing.assert_allclose(out.feat_codes[6], 7.0)
+
+    # click-anchored paste
+    tpl = np.ones((6, 6), bool)
+    out = add_objects_click(st3, (2, 2), 6, tpl, clusters, style_id=0)
+    assert (out.inst[2:8, 2:8] == 6).all()
+
+    # crop region is padded to crop_min
+    crop = get_crop_region(inst == 2001, crop_min=16)
+    min_y, min_x, max_y, max_x = crop
+    assert max_y - min_y >= 8 and max_x - min_x >= 12
+    assert min_y <= 8 and max_x >= 19
+
+    # style previews: 3 clusters -> 3 cropped previews from the generate fn
+    calls = []
+    def generate(s):
+        calls.append(s.feat_codes[2001].copy())
+        return np.zeros((H, W, 3))
+    previews, _, crop = style_forward(st3, (10, 10), clusters, generate,
+                                      style_id=-1, crop_min=16)
+    assert len(previews) == 3
+    assert previews[0].shape[0] == crop[2] - crop[0]
+    assert not np.allclose(calls[0], calls[1])
+    # committing a style
+    _, committed, _ = style_forward(st3, (10, 10), clusters, generate,
+                                    style_id=2, crop_min=16)
+    np.testing.assert_allclose(committed.feat_codes[2001], clusters[2][2])
+    assert to_batch(committed)["feat_map"].shape == (1, H, W, 5)
+
+
 def test_locks(tmp_path):
     from sdn3d_tpu.utils.locks import try_claim, crash_guard
     d = str(tmp_path)

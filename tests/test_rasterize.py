@@ -174,6 +174,21 @@ def test_face_colors_render():
     assert np.allclose(rgb[0, :, 0, 0], 1.0)
 
 
+def test_kernel_version_per_call(rng):
+    """The per-call `version` override (parity mode) selects the kernel
+    without touching the env/module default: version=1 must be bit-exact
+    vs the XLA scan on the hit map."""
+    faces = random_faces(rng, batch=1, num_faces=23, z_range=(1.5, 6.0))
+    valid = np.ones((1, 23), bool)
+    fi_x, _, _, _ = R.rasterize_face_maps(
+        jnp.asarray(faces), jnp.asarray(valid), 128, impl="xla")
+    for v in (1, 3):
+        fi_p, _, _, _ = R.rasterize_face_maps(
+            jnp.asarray(faces), jnp.asarray(valid), 128,
+            impl="pallas_interp", version=v)
+        np.testing.assert_array_equal(np.asarray(fi_p), np.asarray(fi_x))
+
+
 @pytest.mark.parametrize("version", [1, 2, 3])
 def test_pallas_kernel_matches_xla(rng, version, monkeypatch):
     """Both tiled Pallas kernels (interpret mode on CPU) must produce the
