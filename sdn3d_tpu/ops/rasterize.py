@@ -27,6 +27,7 @@ which loops per mesh).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -253,6 +254,99 @@ def rasterize_face_maps(
 # NR-4: approximate silhouette gradient — pixel-parallel re-expression
 # ---------------------------------------------------------------------------
 
+def _edge_invariants(u_all, v_all, d0, d1, hit, isz: int, axis: int,
+                     e: int) -> dict:
+    """Per-edge loop-invariant terms of the pixel-parallel NMR edge walk.
+
+    u_all/v_all [B, S, L, 3]: the pixel's face's vertex coordinates along
+    the d0 (cross) / d1 (walk) directions; d0/d1 the pixel coordinate
+    grids in the same layout.  Shared by the XLA fori+roll loop and the
+    Pallas halo kernel (rasterize_pallas.walk_grads_pallas) — one source
+    of truth for the gate/distance math."""
+    i0, i1, i2 = e, (e + 1) % 3, (e + 2) % 3
+    Au, Bu, Cu = u_all[..., i0], u_all[..., i1], u_all[..., i2]
+    Av, Bv, Cv = v_all[..., i0], v_all[..., i1], v_all[..., i2]
+
+    nonvert = Bu != Au
+    slope = (Bv - Av) / jnp.where(nonvert, Bu - Au, 1.0)
+    d1_cross = slope * (d0 - Au) + Av
+    if axis == 0:
+        direction = jnp.where(Au < Bu, -1.0, 1.0)
+    else:
+        direction = jnp.where(Au < Bu, 1.0, -1.0)
+    d1_in = jnp.where(direction > 0, jnp.floor(d1_cross),
+                      jnp.ceil(d1_cross))
+    d1_out = d1_in + direction
+
+    col_ok = (hit & nonvert
+              & (d0 >= jnp.ceil(jnp.minimum(Au, Bu)))
+              & (d0 <= jnp.maximum(Au, Bu))
+              & (d1_in >= 0) & (d1_in <= isz - 1)
+              & (d1_out >= 0) & (d1_out <= isz - 1))
+
+    # Distance factors with validity folded in as exact zeros
+    # (kA = 0 <=> the reference's dist==0 skip): the walk body then needs
+    # only 5 f32 + 1 bool invariant arrays per edge — the fori body is
+    # HBM-bandwidth bound on its loop-invariant reads, so every array
+    # dropped here is ~38 MB/step saved at 768^2 x 16.
+    base_k = (Bu - Au) * 2.0 / isz
+    kA = jnp.where(Bu != d0, base_k / jnp.where(Bu != d0, Bu - d0,
+                                                1.0), 0.0)
+    kB = jnp.where(Au != d0, base_k / jnp.where(Au != d0, d0 - Au,
+                                                1.0), 0.0)
+
+    # IN-pass range (the walked span inside the face).
+    use_ac = (d0 - Au) * (d0 - Cu) < 0
+    slope_ac = (Cv - Av) / jnp.where(Cu != Au, Cu - Au, 1.0)
+    slope_bc = (Bv - Cv) / jnp.where(Bu != Cu, Bu - Cu, 1.0)
+    d0_cross2 = jnp.where(use_ac, slope_ac * (d0 - Au) + Av,
+                          slope_bc * (d0 - Cu) + Cv)
+    d1_lim_in = jnp.where(direction > 0, jnp.ceil(d0_cross2),
+                          jnp.floor(d0_cross2))
+    lo_in = jnp.maximum(jnp.minimum(d1_in, d1_lim_in), 0.0)
+    hi_in = jnp.minimum(jnp.maximum(d1_in, d1_lim_in), isz - 1.0)
+    in_range = col_ok & (d1 >= lo_in) & (d1 <= hi_in)
+    # pixel's walk distance to its in-boundary; -1 = not in range.
+    j_gate = jnp.where(in_range, (d1_in - d1) * direction, -1.0)
+
+    is_in_pixel = col_ok & (d1_in == d1)
+    # lo_out/hi_out need no arrays: for an in-boundary pixel the out walk
+    # [d1_out, border] is exactly {d1k : k>=1, 0 <= d1k <= isz-1}, an
+    # in-loop test on d1k alone.
+    return dict(i0=i0, i1=i1, d1_cross=d1_cross, direction=direction,
+                kA=kA, kB=kB, j_gate=j_gate, is_in_pixel=is_in_pixel)
+
+
+def _reduce_pixel_grads(faces, face_valid, face_index, hit, fi_c, comps,
+                        zero, isz, B, F):
+    """Reduce per-pixel contributions onto faces: grad -= diff/dist."""
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if on_tpu and isz % 128 == 0:
+        # One-hot matmul segmented reduction (Pallas/MXU): the XLA scatter
+        # alternative below runs ~77M rows/s on v5e (~730 ms for the 6
+        # components at 768^2 x 16) and dominates the whole backward.
+        from sdn3d_tpu.ops import rasterize_pallas as RP
+        planes = [-comps[(v, c)] for v in range(3) for c in range(2)]
+        planes += [zero, zero]
+        acc8 = jnp.stack(planes, axis=1)                    # [B, 8, H, W]
+        _, nondeg = _face_inv(faces, isz)
+        ok = _frontface(faces) & nondeg & face_valid
+        aux, cb = RP.pack_seg_aux(faces, isz, ok)
+        out = RP.segment_face_grads_pallas(acc8, face_index, aux, cb, isz)
+        g = out[:, :F, :6].reshape(B, F, 3, 2)
+    else:
+        # Six SCALAR segment_sums: on v5e a [N, 6] row scatter measured
+        # 1.8x slower than 6 independent [N] scatters (scatter cost is
+        # per-row bound, and narrow multi-lane rows hit a slow path).
+        seg = (fi_c + jnp.arange(B)[:, None, None] * F).reshape(-1)
+        sums = [jax.ops.segment_sum(
+            jnp.where(hit, -comps[(v, c)], 0.0).reshape(-1), seg,
+            num_segments=B * F)
+            for v in range(3) for c in range(2)]
+        g = jnp.stack(sums, axis=-1).reshape(B, F, 3, 2)
+    return jnp.concatenate([g, jnp.zeros((B, F, 3, 1), _f32)], axis=-1)
+
+
 def _silhouette_grad_pixelwise(
     faces: jnp.ndarray,          # [B, F, 3, 3]
     face_valid: jnp.ndarray,     # [B, F] (culling only: fi already holds
@@ -265,6 +359,7 @@ def _silhouette_grad_pixelwise(
     image_size: int,
     eps: float,
     walk: int = 0,
+    force_walk_impl: Optional[str] = None,   # "pallas"/"xla"; tests only
 ) -> jnp.ndarray:
     """NMR edge gradient (rasterize.py:514-745), re-derived pixel-parallel.
 
@@ -313,6 +408,52 @@ def _silhouette_grad_pixelwise(
     zero = jnp.zeros((B, isz, isz), _f32)
     comps = {(v, c): zero for v in range(3) for c in range(2)}
 
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if force_walk_impl == "pallas":
+        use_pallas_walk = True
+    elif force_walk_impl == "xla":
+        use_pallas_walk = False
+    else:
+        use_pallas_walk = (on_tpu and isz % 128 == 0
+                           and os.getenv("SDN3D_PALLAS_WALK", "1") == "1")
+
+    if use_pallas_walk:
+        # Halo-read Pallas kernel: alpha/grad stay in VMEM across the
+        # whole k-loop instead of 4 rolled HBM planes per step; invariants
+        # are read once.  Axis 1 (walk along columns) runs the same kernel
+        # on transposed planes — walks must follow the sublane axis.
+        from sdn3d_tpu.ops import rasterize_pallas as RP
+        for axis in range(2):
+            if axis == 0:
+                hit_l, fi_l = hit, fi_c
+                alpha_l, grad_l = alpha, grad_alpha
+            else:
+                hit_l = hit.transpose(0, 2, 1)
+                fi_l = fi_c.transpose(0, 2, 1)
+                alpha_l = alpha.transpose(0, 2, 1)
+                grad_l = grad_alpha.transpose(0, 2, 1)
+            pp_l = jax.vmap(lambda pb, fb: pb[fb])(pp_all, fi_l)
+            u_all = pp_l[..., axis]          # d0-coordinate of vertices
+            v_all = pp_l[..., 1 - axis]      # d1 (walk) coordinate
+            d1 = jax.lax.broadcasted_iota(_f32, (isz, isz), 0)[None]
+            d0 = jax.lax.broadcasted_iota(_f32, (isz, isz), 1)[None]
+            planes = []
+            for e in range(3):
+                E = _edge_invariants(u_all, v_all, d0, d1, hit_l, isz,
+                                     axis, e)
+                planes += [E["d1_cross"], E["direction"], E["kA"], E["kB"],
+                           E["j_gate"], E["is_in_pixel"].astype(_f32)]
+            inv_stack = jnp.stack(planes, axis=1)   # [B, 18, S, L]
+            accs = RP.walk_grads_pallas(alpha_l, grad_l, inv_stack, W, eps,
+                                        interpret=not on_tpu)
+            for v in range(3):
+                a = accs[:, v]
+                if axis == 1:
+                    a = a.transpose(0, 2, 1)
+                comps[(v, 1 - axis)] = comps[(v, 1 - axis)] + a
+        return _reduce_pixel_grads(faces, face_valid, face_index, hit, fi_c,
+                                   comps, zero, isz, B, F)
+
     for axis in range(2):
         if axis == 0:
             u_all = pp_px[..., 0]
@@ -329,64 +470,8 @@ def _silhouette_grad_pixelwise(
 
         # Per-edge loop-invariant terms, precomputed so the k-loop's rolls
         # are shared across the 3 edges.
-        edges = []
-        for e in range(3):
-            i0, i1, i2 = e, (e + 1) % 3, (e + 2) % 3
-            Au, Bu, Cu = u_all[..., i0], u_all[..., i1], u_all[..., i2]
-            Av, Bv, Cv = v_all[..., i0], v_all[..., i1], v_all[..., i2]
-
-            nonvert = Bu != Au
-            slope = (Bv - Av) / jnp.where(nonvert, Bu - Au, 1.0)
-            d1_cross = slope * (d0 - Au) + Av
-            if axis == 0:
-                direction = jnp.where(Au < Bu, -1.0, 1.0)
-            else:
-                direction = jnp.where(Au < Bu, 1.0, -1.0)
-            d1_in = jnp.where(direction > 0, jnp.floor(d1_cross),
-                              jnp.ceil(d1_cross))
-            d1_out = d1_in + direction
-
-            col_ok = (hit & nonvert
-                      & (d0 >= jnp.ceil(jnp.minimum(Au, Bu)))
-                      & (d0 <= jnp.maximum(Au, Bu))
-                      & (d1_in >= 0) & (d1_in <= isz - 1)
-                      & (d1_out >= 0) & (d1_out <= isz - 1))
-
-            # Distance factors with validity folded in as exact zeros
-            # (kA = 0 <=> the reference's dist==0 skip): the walk body
-            # then needs only 5 f32 + 1 bool invariant arrays per edge —
-            # the fori body is HBM-bandwidth bound on its loop-invariant
-            # reads, so every array dropped here is ~38 MB/step saved at
-            # 768^2 x 16.
-            base_k = (Bu - Au) * 2.0 / isz
-            kA = jnp.where(Bu != d0, base_k / jnp.where(Bu != d0, Bu - d0,
-                                                        1.0), 0.0)
-            kB = jnp.where(Au != d0, base_k / jnp.where(Au != d0, d0 - Au,
-                                                        1.0), 0.0)
-
-            # IN-pass range (the walked span inside the face).
-            use_ac = (d0 - Au) * (d0 - Cu) < 0
-            slope_ac = (Cv - Av) / jnp.where(Cu != Au, Cu - Au, 1.0)
-            slope_bc = (Bv - Cv) / jnp.where(Bu != Cu, Bu - Cu, 1.0)
-            d0_cross2 = jnp.where(use_ac, slope_ac * (d0 - Au) + Av,
-                                  slope_bc * (d0 - Cu) + Cv)
-            d1_lim_in = jnp.where(direction > 0, jnp.ceil(d0_cross2),
-                                  jnp.floor(d0_cross2))
-            lo_in = jnp.maximum(jnp.minimum(d1_in, d1_lim_in), 0.0)
-            hi_in = jnp.minimum(jnp.maximum(d1_in, d1_lim_in), isz - 1.0)
-            in_range = col_ok & (d1 >= lo_in) & (d1 <= hi_in)
-            # pixel's walk distance to its in-boundary; -1 = not in range.
-            j_gate = jnp.where(in_range, (d1_in - d1) * direction, -1.0)
-
-            is_in_pixel = col_ok & (d1_in == d1)
-            # lo_out/hi_out need no arrays: for an in-boundary pixel the
-            # out walk [d1_out, border] is exactly {d1k : k>=1, 0 <= d1k
-            # <= isz-1}, an in-loop test on d1k alone.
-
-            edges.append(dict(
-                i0=i0, i1=i1, d1_cross=d1_cross, direction=direction,
-                kA=kA, kB=kB, j_gate=j_gate, is_in_pixel=is_in_pixel,
-            ))
+        edges = [_edge_invariants(u_all, v_all, d0, d1, hit, isz, axis, e)
+                 for e in range(3)]
 
         def dist_terms(E, d1_at, diff, gate):
             dA = E["kA"] * (d1_at - E["d1_cross"])
@@ -440,32 +525,8 @@ def _silhouette_grad_pixelwise(
         for v in range(3):
             comps[(v, 1 - axis)] = comps[(v, 1 - axis)] + accs[v]
 
-    # Reduce per-pixel contributions onto faces: grad -= diff/dist.
-    on_tpu = jax.default_backend() in ("tpu", "axon")
-    if on_tpu and isz % 128 == 0:
-        # One-hot matmul segmented reduction (Pallas/MXU): the XLA scatter
-        # alternative below runs ~77M rows/s on v5e (~730 ms for the 6
-        # components at 768^2 x 16) and dominates the whole backward.
-        from sdn3d_tpu.ops import rasterize_pallas as RP
-        planes = [-comps[(v, c)] for v in range(3) for c in range(2)]
-        planes += [zero, zero]
-        acc8 = jnp.stack(planes, axis=1)                    # [B, 8, H, W]
-        _, nondeg = _face_inv(faces, isz)
-        ok = _frontface(faces) & nondeg & face_valid
-        aux, cb = RP.pack_seg_aux(faces, isz, ok)
-        out = RP.segment_face_grads_pallas(acc8, face_index, aux, cb, isz)
-        g = out[:, :F, :6].reshape(B, F, 3, 2)
-    else:
-        # Six SCALAR segment_sums: on v5e a [N, 6] row scatter measured
-        # 1.8x slower than 6 independent [N] scatters (scatter cost is
-        # per-row bound, and narrow multi-lane rows hit a slow path).
-        seg = (fi_c + jnp.arange(B)[:, None, None] * F).reshape(-1)
-        sums = [jax.ops.segment_sum(
-            jnp.where(hit, -comps[(v, c)], 0.0).reshape(-1), seg,
-            num_segments=B * F)
-            for v in range(3) for c in range(2)]
-        g = jnp.stack(sums, axis=-1).reshape(B, F, 3, 2)
-    return jnp.concatenate([g, jnp.zeros((B, F, 3, 1), _f32)], axis=-1)
+    return _reduce_pixel_grads(faces, face_valid, face_index, hit, fi_c,
+                               comps, zero, isz, B, F)
 
 
 # ---------------------------------------------------------------------------
@@ -704,30 +765,57 @@ def _depth_grad(
 # ---------------------------------------------------------------------------
 
 def _rasterize_sorted(faces, face_valid, image_size: int, near: float,
-                      far: float, version: Optional[int] = None):
-    """(hit map, depth, perm) in Morton-SORTED face space (TPU pallas
-    path), or (hit map, depth, None) in original space elsewhere.
+                      far: float, version: Optional[int] = None,
+                      colors: Optional[jnp.ndarray] = None):
+    """(hit map, depth, perm[, rgb]) in Morton-SORTED face space (TPU
+    pallas path), or original space elsewhere.
 
     Silhouette/depth/flat-color consumers never need original face ids in
     the map itself — skipping the un-permute gather saves a [B, P]
     lane-crossing gather per forward (~56 ms at 512^2 x 16), and the
     silhouette backward's pixel->face reduction gets Morton-coherent face
     groups (see segment_face_grads_pallas).  Per-face attributes can be
-    permuted instead (F rows, not P)."""
+    permuted instead (F rows, not P).
+
+    colors [B, F, 3] in [-1, 1]: also return a flat-shaded color map
+    [B, H, W, 3], emitted by the v3 kernel in the same pass (the XLA
+    colors[fi] gather it replaces costs ~150 ms at 512^2 x 16)."""
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if on_tpu and image_size % 128 == 0:
         from sdn3d_tpu.ops import rasterize_pallas as RP
         if version is None:
             version = RP.KERNEL_VERSION
+        with_color = colors is not None and version == 3
         packed, aux, chunk_bbox, perm = RP.pack_faces(
-            faces, face_valid, image_size, version=version)
-        fi, depth = RP.rasterize_face_index_pallas(
-            packed, aux, chunk_bbox, image_size, near, far, version=version)
-        return fi, depth, perm
+            faces, face_valid, image_size, version=version,
+            colors=colors if with_color else None)
+        outs = RP.rasterize_face_index_pallas(
+            packed, aux, chunk_bbox, image_size, near, far, version=version,
+            with_color=with_color)
+        if colors is not None:
+            if with_color:
+                return outs[0], outs[1], perm, outs[2]
+            rgb = _gather_face_colors(outs[0], colors, perm)
+            return outs[0], outs[1], perm, rgb
+        return outs[0], outs[1], perm
     fi, _, depth, _ = rasterize_face_maps(
         faces, face_valid, image_size, near, far, return_face_inv=False,
         return_weights=False, impl="xla")
+    if colors is not None:
+        return fi, depth, None, _gather_face_colors(fi, colors, None)
     return fi, depth, None
+
+
+def _gather_face_colors(fi: jnp.ndarray, colors: jnp.ndarray,
+                        perm: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Portable colors[face_index] gather -> [B, H, W, 3]; background 0."""
+    hit = fi >= 0
+    fi_c = jnp.where(hit, fi, 0)
+    if perm is not None:
+        colors = jax.vmap(lambda cb, pb: cb[pb])(colors,
+                                                 perm[:, :colors.shape[1]])
+    rgb = jax.vmap(lambda cb, fb: cb[fb])(colors, fi_c)
+    return jnp.where(hit[..., None], rgb, 0.0)
 
 
 @functools.lru_cache(maxsize=None)

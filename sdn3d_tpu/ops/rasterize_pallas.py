@@ -127,7 +127,8 @@ def _morton16(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
 
 def pack_faces(faces: jnp.ndarray, face_valid: Optional[jnp.ndarray],
                image_size: int, sort: bool = True,
-               version: Optional[int] = None
+               version: Optional[int] = None,
+               colors: Optional[jnp.ndarray] = None
                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                           Optional[jnp.ndarray]]:
     """faces [B, F, 3, 3] -> (packed, aux [B, AUX_ROWS, F_pad] int32,
@@ -139,7 +140,14 @@ def pack_faces(faces: jnp.ndarray, face_valid: Optional[jnp.ndarray],
     With sort=True faces are Z-order (Morton) sorted by bbox center so the
     cull groups cover tight 2D patches, and culled/invalid faces sink to
     the tail where whole chunks get skipped.  `perm` maps sorted index ->
-    original face index (for un-permuting the face-index map)."""
+    original face index (for un-permuting the face-index map).
+
+    colors (optional, v3 only): per-face flat colors [B, F, 3] in [-1, 1],
+    quantized to 3 x 10 bits and packed into aux row 3 — the kernel then
+    emits a flat-shaded color map in the SAME pass (one extra int32 RMW
+    plane), replacing the post-hoc colors[face_index] XLA gather that
+    costs ~150 ms at 512^2 x 16 on v5e (per-pixel lane-crossing gathers
+    are the slowest primitive on this hardware)."""
     from sdn3d_tpu.ops.rasterize import _face_inv, _frontface
 
     if version is None:
@@ -162,6 +170,8 @@ def pack_faces(faces: jnp.ndarray, face_valid: Optional[jnp.ndarray],
         perm = jnp.argsort(key, axis=1).astype(jnp.int32)  # [B, F]
         faces = jax.vmap(lambda fb, pb: fb[pb])(faces, perm)
         ok = jnp.take_along_axis(ok, perm, axis=1)
+        if colors is not None:
+            colors = jax.vmap(lambda cb, pb: cb[pb])(colors, perm)
 
     # Pixel-coord bbox of each face.
     px = 0.5 * (faces[..., 0] * image_size + image_size - 1)   # [B, F, 3]
@@ -290,14 +300,25 @@ def pack_faces(faces: jnp.ndarray, face_valid: Optional[jnp.ndarray],
         pymax = padded(pymax, 0)
         rows += [jnp.zeros((B, F + pad), _f32)] * (N_ROWS - 12)
         packed = jnp.stack(rows, axis=1)               # [B, N_ROWS, F_pad]
+        if colors is not None:
+            # 3 x 10-bit quantization of [-1, 1] flat colors (aux row 3).
+            # 10 bits resolve ~1/1023 — beyond the uint8 PNGs the normal
+            # maps feed (visualizer/geometric contract), and the packed
+            # scalar stays positive (30 bits).
+            q = jnp.clip(jnp.round((colors + 1.0) * 511.5), 0, 1023
+                         ).astype(jnp.int32)           # [B, F, 3]
+            crow = padded(q[..., 0] | (q[..., 1] << 10) | (q[..., 2] << 20),
+                          0)
+        else:
+            crow = zero_i
         aux = jnp.stack(
             [pack_bbox(txmin, txmax, tymin, tymax),
              pack_bbox(jnp.repeat(g_txmin, GROUP, axis=1),
                        jnp.repeat(g_txmax, GROUP, axis=1),
                        jnp.repeat(g_tymin, GROUP, axis=1),
                        jnp.repeat(g_tymax, GROUP, axis=1)),
-             pymin | (pymax << 16)]
-            + [zero_i] * (AUX_ROWS - 3), axis=1)       # [B, AUX_ROWS, F_pad]
+             pymin | (pymax << 16), crow]
+            + [zero_i] * (AUX_ROWS - 4), axis=1)       # [B, AUX_ROWS, F_pad]
         gpc = FACE_CHUNK // GROUP
     else:
         g_txmin = windowed(txmin, True, GROUP)
@@ -502,8 +523,9 @@ def _raster_kernel_v2(bbox_ref, aux_ref, facevm_ref, fi_ref, depth_ref, *,
         jax.lax.fori_loop(0, FACE_CHUNK // VGROUP, group_body, 0)
 
 
-def _raster_kernel_v3(bbox_ref, aux_ref, face_ref, fi_ref, depth_ref, *,
-                      image_size, near, far, tile_h):
+def _raster_kernel_v3(bbox_ref, aux_ref, face_ref, fi_ref, depth_ref,
+                      *maybe_rgb, image_size, near, far, tile_h,
+                      with_color=False):
     """Scalar face loop, slab-bounded vector pass.
 
     Per face: ~14 SMEM scalar reads (bbox, row span, 12 edge/depth
@@ -511,7 +533,12 @@ def _raster_kernel_v3(bbox_ref, aux_ref, face_ref, fi_ref, depth_ref, *,
     row span: edge tests + reciprocal-depth interpolation as pure FMAs on
     [8, TILE_W] vregs and one 8-aligned dynamic z-buffer RMW.  The depth
     buffer holds 1/z (strict `>` == the reference's strict `<` on z); the
-    wrapper inverts once at the end."""
+    wrapper inverts once at the end.
+
+    with_color: also emit the winning face's packed 10-bit flat color
+    (aux row 3) into a third [tile_h, W] int32 plane — one extra RMW per
+    slab, replacing the ~150 ms post-hoc XLA color gather."""
+    rgb_ref = maybe_rgb[0] if with_color else None
     ty = pl.program_id(1)
     tx = pl.program_id(2)
     fc = pl.program_id(3)
@@ -520,6 +547,8 @@ def _raster_kernel_v3(bbox_ref, aux_ref, face_ref, fi_ref, depth_ref, *,
     def _init():
         fi_ref[0] = jnp.full((tile_h, TILE_W), -1, jnp.int32)
         depth_ref[0] = jnp.full((tile_h, TILE_W), 1.0 / far, _f32)
+        if with_color:
+            rgb_ref[0] = jnp.zeros((tile_h, TILE_W), jnp.int32)
 
     def bbox_hit(v):
         return (((v & 0xFF) <= tx) & (((v >> 8) & 0xFF) > tx)
@@ -559,6 +588,8 @@ def _raster_kernel_v3(bbox_ref, aux_ref, face_ref, fi_ref, depth_ref, *,
                 ex20 = b20 * xp
                 exz = bz * xp
                 gidx = jnp.full((8, TILE_W), fc * FACE_CHUNK + j, jnp.int32)
+                if with_color:
+                    gcol = jnp.full((8, TILE_W), aux_ref[0, 3, j], jnp.int32)
 
                 yb = aux_ref[0, 2, j]
                 r0 = jnp.maximum((yb & 0xFFFF) - tile_y0, 0)
@@ -579,6 +610,10 @@ def _raster_kernel_v3(bbox_ref, aux_ref, face_ref, fi_ref, depth_ref, *,
                     depth_ref[0, pl.ds(o, 8), :] = jnp.where(take, rz, dcur)
                     icur = fi_ref[0, pl.ds(o, 8), :]
                     fi_ref[0, pl.ds(o, 8), :] = jnp.where(take, gidx, icur)
+                    if with_color:
+                        ccur = rgb_ref[0, pl.ds(o, 8), :]
+                        rgb_ref[0, pl.ds(o, 8), :] = jnp.where(take, gcol,
+                                                               ccur)
                     return c2
 
                 jax.lax.fori_loop(r0 // 8, (r1 + 7) // 8, slab_body, 0)
@@ -598,7 +633,8 @@ def _raster_kernel_v3(bbox_ref, aux_ref, face_ref, fi_ref, depth_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=("image_size", "near", "far",
-                                             "interpret", "version"))
+                                             "interpret", "version",
+                                             "with_color"))
 def rasterize_face_index_pallas(
     packed: jnp.ndarray,
     aux: jnp.ndarray,
@@ -608,10 +644,12 @@ def rasterize_face_index_pallas(
     far: float = 100.0,
     interpret: bool = False,
     version: Optional[int] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    with_color: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """(packed (see pack_faces), aux [B,AUX_ROWS,F_pad] int32,
     chunk_bbox [B,4,n_chunks] int32) ->
-    (face_index [B,H,W] int32, depth [B,H,W]).
+    (face_index [B,H,W] int32, depth [B,H,W][, rgb [B,H,W,3] when
+    with_color — flat colors from pack_faces(colors=...), v3 only]).
 
     image_size must be a multiple of TILE_W (128): true for every production
     size (256/512/768); pad otherwise before calling.
@@ -631,6 +669,8 @@ def rasterize_face_index_pallas(
     n_chunks = Fp // FACE_CHUNK
     grid = (B, image_size // tile_h, image_size // TILE_W, n_chunks)
 
+    assert not (with_color and version != 3), \
+        "with_color is a v3-kernel feature"
     if version == 2:
         kernel = functools.partial(_raster_kernel_v2, image_size=image_size,
                                    near=near, far=far)
@@ -639,7 +679,8 @@ def rasterize_face_index_pallas(
                                    memory_space=pltpu.VMEM)
     elif version == 3:
         kernel = functools.partial(_raster_kernel_v3, image_size=image_size,
-                                   near=near, far=far, tile_h=tile_h)
+                                   near=near, far=far, tile_h=tile_h,
+                                   with_color=with_color)
         packed_spec = pl.BlockSpec((1, N_ROWS, FACE_CHUNK),
                                    lambda b, ty, tx, fc: (b, 0, fc),
                                    memory_space=pltpu.SMEM)
@@ -650,7 +691,18 @@ def rasterize_face_index_pallas(
                                    lambda b, ty, tx, fc: (b, 0, fc),
                                    memory_space=pltpu.SMEM)
 
-    fi, depth = pl.pallas_call(
+    map_spec = pl.BlockSpec((1, tile_h, TILE_W),
+                            lambda b, ty, tx, fc: (b, ty, tx),
+                            memory_space=pltpu.VMEM)
+    map_shape = (B, image_size, image_size)
+    out_specs = [map_spec, map_spec]
+    out_shape = [jax.ShapeDtypeStruct(map_shape, jnp.int32),
+                 jax.ShapeDtypeStruct(map_shape, _f32)]
+    if with_color:
+        out_specs.append(map_spec)
+        out_shape.append(jax.ShapeDtypeStruct(map_shape, jnp.int32))
+
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -662,24 +714,23 @@ def rasterize_face_index_pallas(
                          memory_space=pltpu.SMEM),
             packed_spec,
         ],
-        out_specs=(
-            pl.BlockSpec((1, tile_h, TILE_W),
-                         lambda b, ty, tx, fc: (b, ty, tx),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_h, TILE_W),
-                         lambda b, ty, tx, fc: (b, ty, tx),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, image_size, image_size), jnp.int32),
-            jax.ShapeDtypeStruct((B, image_size, image_size), _f32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
     )(chunk_bbox, aux, packed)
+    fi, depth = outs[0], outs[1]
     if version >= 2:
         # the v2/v3 kernels' buffers hold 1/z
         depth = jnp.where(fi >= 0, 1.0 / jnp.maximum(depth, 1e-30),
                           jnp.float32(far))
+    if with_color:
+        # unpack 3 x 10-bit [-1, 1] colors; background (fi < 0) -> 0
+        q = outs[2]
+        hit = (fi >= 0)[..., None]
+        rgb = jnp.stack([q & 0x3FF, (q >> 10) & 0x3FF, (q >> 20) & 0x3FF],
+                        axis=-1).astype(_f32) / 511.5 - 1.0
+        rgb = jnp.where(hit, rgb, 0.0)                 # [B, H, W, 3]
+        return fi, depth, rgb
     return fi, depth
 
 
@@ -895,3 +946,123 @@ def segment_face_grads_pallas(
         out_shape=jax.ShapeDtypeStruct((B, Fp, 8), jnp.float32),
         interpret=interpret,
     )(chunk_bbox, aux, face_index, acc8)
+
+
+# ---------------------------------------------------------------------------
+# Silhouette-VJP walk loop (NR-4 edge walks) as a halo-read Pallas kernel
+# ---------------------------------------------------------------------------
+
+# Edge-invariant stack layout (per edge e: rows 6e..6e+5):
+#   d1_cross, direction, kA, kB, j_gate, is_in_pixel (f32 0/1)
+WALK_INV_ROWS = 18
+WALK_TILE_S = int(_os.getenv("SDN3D_WALK_TILE_S", "256"))
+
+
+def _walk_kernel(alpha_ref, grad_ref, inv_ref, acc_ref, *,
+                 n_steps, eps, tile_s, S, halo):
+    """One (batch, lane-tile, row-tile) cell of the silhouette walk.
+
+    The XLA formulation (_silhouette_grad_pixelwise's fori+roll loop) is
+    HBM-bound: every step re-reads 4 full rolled alpha/grad planes plus
+    ~6 invariant planes per edge from HBM (~38 MB each at 768^2 x 16).
+    Here alpha/grad live in VMEM as one halo-padded column per lane tile
+    and the k-loop's shifted reads are VMEM row-offset reads; invariants
+    are read ONCE per tile.  Same math, same gates — bitwise-equal
+    contributions (all f32 FMA-free adds/mults).
+    """
+    st = pl.program_id(2)
+    s0 = st * tile_s
+
+    d1 = (jax.lax.broadcasted_iota(jnp.int32, (tile_s, TILE_W), 0)
+          + s0).astype(_f32)
+    alpha0 = alpha_ref[0, pl.ds(halo + s0, tile_s), :]
+    grad0 = grad_ref[0, pl.ds(halo + s0, tile_s), :]
+
+    inv = [inv_ref[0, r] for r in range(WALK_INV_ROWS)]
+    Sf = jnp.float32(S - 1)
+    epsf = jnp.float32(eps)
+
+    def body(k, accs):
+        kf = k.astype(_f32)
+        a_f = alpha_ref[0, pl.ds(halo + s0 + k, tile_s), :]
+        a_b = alpha_ref[0, pl.ds(halo + s0 - k, tile_s), :]
+        g_f = grad_ref[0, pl.ds(halo + s0 + k, tile_s), :]
+        g_b = grad_ref[0, pl.ds(halo + s0 - k, tile_s), :]
+        accs = list(accs)
+        for e in range(3):
+            d1_cross, direction, kA, kB, j_gate, is_in = inv[6 * e:6 * e + 6]
+            pos = direction > 0
+            a_k = jnp.where(pos, a_f, a_b)
+            g_k = jnp.where(pos, g_f, g_b)
+            d1k = d1 + direction * kf
+            in_seg = (d1k >= 0.0) & (d1k <= Sf)
+            diff = (a_k - alpha0) * g_k
+            gate = (is_in > 0) & in_seg & (diff > 0)
+            tA = kA * (d1k - d1_cross)
+            tA = jnp.where(tA > 0, tA + epsf, tA - epsf)
+            tB = kB * (d1k - d1_cross)
+            tB = jnp.where(tB > 0, tB + epsf, tB - epsf)
+            gA = jnp.where(gate & (kA != 0), diff / tA, 0.0)
+            gB = jnp.where(gate & (kB != 0), diff / tB, 0.0)
+            # IN pass at walk distance j = k-1 (alpha_out == a_k)
+            diff_in = (alpha0 - a_k) * grad0
+            gate_in = (j_gate == kf - 1.0) & (diff_in > 0)
+            uA = kA * (d1 - d1_cross)
+            uA = jnp.where(uA > 0, uA + epsf, uA - epsf)
+            uB = kB * (d1 - d1_cross)
+            uB = jnp.where(uB > 0, uB + epsf, uB - epsf)
+            gA_in = jnp.where(gate_in & (kA != 0), diff_in / uA, 0.0)
+            gB_in = jnp.where(gate_in & (kB != 0), diff_in / uB, 0.0)
+            i0, i1 = e, (e + 1) % 3
+            accs[i0] = accs[i0] + gA + gA_in
+            accs[i1] = accs[i1] + gB + gB_in
+        return tuple(accs)
+
+    zero = jnp.zeros((tile_s, TILE_W), _f32)
+    a0, a1, a2 = jax.lax.fori_loop(1, n_steps + 1, body, (zero, zero, zero))
+    acc_ref[0, 0] = a0
+    acc_ref[0, 1] = a1
+    acc_ref[0, 2] = a2
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps", "eps", "interpret"))
+def walk_grads_pallas(alpha: jnp.ndarray, grad_alpha: jnp.ndarray,
+                      inv_stack: jnp.ndarray, n_steps: int, eps: float,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Silhouette walk accumulators for ONE axis, walking along dim 1.
+
+    alpha/grad_alpha [B, S, L]; inv_stack [B, WALK_INV_ROWS, S, L]
+    (see _walk_kernel layout; L % 128 == 0).  Returns [B, 3, S, L]
+    per-vertex accumulators (same values as the XLA fori+roll loop)."""
+    B, S, L = alpha.shape
+    assert L % TILE_W == 0, L
+    tile_s = WALK_TILE_S
+    while S % tile_s:
+        tile_s //= 2
+    halo = n_steps
+    # zero halo padding: gates guarantee out-of-image reads are unused
+    pad = ((0, 0), (halo, halo), (0, 0))
+    alpha_p = jnp.pad(alpha, pad)
+    grad_p = jnp.pad(grad_alpha, pad)
+
+    grid = (B, L // TILE_W, S // tile_s)
+    col_spec = pl.BlockSpec((1, S + 2 * halo, TILE_W),
+                            lambda b, l, st: (b, 0, l),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_walk_kernel, n_steps=n_steps, eps=eps,
+                          tile_s=tile_s, S=S, halo=halo),
+        grid=grid,
+        in_specs=[
+            col_spec,
+            col_spec,
+            pl.BlockSpec((1, WALK_INV_ROWS, tile_s, TILE_W),
+                         lambda b, l, st: (b, 0, st, l),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 3, tile_s, TILE_W),
+                               lambda b, l, st: (b, 0, st, l),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 3, S, L), _f32),
+        interpret=interpret,
+    )(alpha_p, grad_p, inv_stack)

@@ -167,10 +167,16 @@ def render_targets(
     if face_valid is None:
         face_valid = jnp.ones(faces.shape[:2], bool)
     # Sorted-face-space maps: silhouette/depth never need face ids, and
-    # the normal path gathers its per-face colors through `perm` (F rows)
-    # instead of un-permuting the hit map (P rows) — ~56 ms at 512^2 x16.
-    fi, depth, perm = R._rasterize_sorted(
-        jax.lax.stop_gradient(face_verts), face_valid, size, near, far)
+    # the normal colors are emitted by the raster kernel itself in the
+    # same pass (the post-hoc colors[face_index] XLA gather costs ~150 ms
+    # at 512^2 x 16 — half the inference render).
+    if "normal" in targets:
+        fi, depth, perm, rgb = R._rasterize_sorted(
+            jax.lax.stop_gradient(face_verts), face_valid, size, near, far,
+            colors=colors)
+    else:
+        fi, depth, perm = R._rasterize_sorted(
+            jax.lax.stop_gradient(face_verts), face_valid, size, near, far)
 
     def finish(img, spatial_axis):
         img = jnp.flip(img, axis=spatial_axis)
@@ -186,13 +192,6 @@ def render_targets(
     if "depth" in targets:
         out["depth"] = finish(depth, 1)[:, None]
     if "normal" in targets:
-        hit = fi >= 0
-        fi_c = jnp.where(hit, fi, 0)
-        if perm is not None:
-            F2 = colors.shape[1]
-            colors = jax.vmap(lambda cb, pb: cb[pb])(colors, perm[:, :F2])
-        rgb = jax.vmap(lambda cb, fb: cb[fb])(colors, fi_c)  # [B, H, W, 3]
-        rgb = jnp.where(hit[..., None], rgb, 0.0)
         rgb = jnp.moveaxis(rgb, -1, 1)                        # [B, 3, H, W]
         rgb = finish(rgb, 2)
         out["normal"] = rgb * jnp.asarray(

@@ -1,6 +1,9 @@
 """Cityscapes data-layer tests."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.quick
 
 from sdn3d_tpu.data.cityscapes import (
     CAR_ID, Camera, car_instances, disparity_ignore, id_map_to_train_ids,

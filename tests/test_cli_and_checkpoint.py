@@ -27,6 +27,7 @@ def test_checkpoint_roundtrip(tmp_path):
     assert load_meta(str(tmp_path / "ck"))["meta"]["lr"] == 0.2
 
 
+@pytest.mark.slow
 def test_semantic_train_cli_synthetic(tmp_path):
     from sdn3d_tpu.cli.semantic_train import main
 
@@ -104,6 +105,7 @@ def test_geometric_cli_args():
     assert args.mode == "extend" and args.num_opts == 25
 
 
+@pytest.mark.slow
 def test_geometric_train_cli_synthetic(tmp_path):
     from sdn3d_tpu.cli.geometric_train import main
     main(["--synthetic", "--mode", "full", "--num_iters", "2",
@@ -113,6 +115,7 @@ def test_geometric_train_cli_synthetic(tmp_path):
     assert latest_step(str(tmp_path / "ck")) == 2
 
 
+@pytest.mark.slow
 def test_textural_train_cli_synthetic(tmp_path):
     from sdn3d_tpu.cli.textural_train import main
     main(["--synthetic", "--small", "--no_vgg", "--num_iters", "2",
@@ -251,6 +254,7 @@ def test_plot_loss(tmp_path):
     assert os.path.getsize(p) > 1000
 
 
+@pytest.mark.slow
 def test_geometric_train_cli_vkitti(tmp_path):
     """The geometric train CLI consumes real-format VKITTI data through
     the threaded prefetch loader (pretrain mode: geometry losses only)."""

@@ -51,6 +51,7 @@ def test_forward_shapes(setup):
     assert float(blob["_masks"].mean()) > 0.01
 
 
+@pytest.mark.slow
 def test_train_step_runs_and_is_finite(setup):
     trainer, batch, state = setup
     step = jax.jit(trainer.make_train_step())
@@ -66,6 +67,7 @@ def test_train_step_runs_and_is_finite(setup):
     assert delta > 0
 
 
+@pytest.mark.slow
 def test_train_step_sharded_multichip(setup):
     """One full training step over an 8-device data mesh."""
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -86,6 +88,7 @@ def test_train_step_sharded_multichip(setup):
         assert np.isfinite(float(v)), (k, float(v))
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device(setup):
     """Data-parallel step == single-device step on the same batch (the
     distributed-parity fixture, SURVEY.md §4)."""
@@ -107,6 +110,7 @@ def test_sharded_matches_single_device(setup):
                                    err_msg=k)
 
 
+@pytest.mark.slow
 def test_graft_entry():
     import __graft_entry__ as ge
     fn, args = ge.entry()

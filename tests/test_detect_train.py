@@ -86,6 +86,7 @@ def test_transfer_schedule_driver():
     assert seen[32] == ("all", 70) and seen[-1] == ("all", 99)
 
 
+@pytest.mark.slow
 def test_maskrcnn_train_step():
     trainer = MaskRCNNTrainer(config=CFG, stage="heads")
     state = trainer.init(jax.random.PRNGKey(0))

@@ -2,6 +2,9 @@
 geometric/derender3d/models/transforms.py, geometric/neural_renderer/*)."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.quick
 import jax.numpy as jnp
 
 from sdn3d_tpu.geometry import ffd as ffd_mod

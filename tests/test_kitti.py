@@ -1,6 +1,9 @@
 """KITTI data-layer tests (datasets.py:423-769)."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.quick
 
 from sdn3d_tpu.data.kitti import (
     KittiSemanticsDataset, hybrid_weights, kitti_targets, parse_calib_file,

@@ -2,6 +2,9 @@
 weighted sampling, threaded prefetch, sharded device_put)."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.quick
 
 from sdn3d_tpu.data.loader import (EpochSampler, PrefetchLoader,
                                    WeightedSampler, zero_fill_collate)

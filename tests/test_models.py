@@ -9,6 +9,7 @@ import jax
 import jax.numpy as jnp
 
 
+@pytest.mark.slow
 def test_semantic_model_shapes():
     from sdn3d_tpu.models.semantic import SemanticModel, segmentation_loss, \
         pixel_accuracy
@@ -64,6 +65,7 @@ def mrcnn_setup():
     return cfg, anchors, model
 
 
+@pytest.mark.slow
 def test_maskrcnn_inference_shapes(mrcnn_setup):
     cfg, anchors, model = mrcnn_setup
     img = jnp.zeros((1, 128, 128, 3))
@@ -88,6 +90,7 @@ def test_maskrcnn_box_deltas_roundtrip():
     np.testing.assert_allclose(out2[0, 2] - out2[0, 0], 80.0, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_pix2pixhd_generator_and_discriminator():
     from sdn3d_tpu.models.pix2pixhd import (
         GlobalGenerator, MultiscaleDiscriminator, Encoder,
@@ -137,6 +140,7 @@ def test_get_edges():
     assert not e[:, 0].any() and not e[:, 3].any()
 
 
+@pytest.mark.slow
 def test_local_enhancer_forward():
     """LocalEnhancer (networks.py:156-208): coarse global trunk + enhancer
     branch, output is tanh RGB at input resolution."""
@@ -153,6 +157,7 @@ def test_local_enhancer_forward():
     assert float(jnp.abs(y).max()) <= 1.0
 
 
+@pytest.mark.slow
 def test_alternative_semantic_decoders():
     """C1BilinearDeepSup / PPMBilinear (models.py:251-355): train mode
     yields log-softmax (deep-sup tuple for C1-deepsup), inference yields
@@ -214,6 +219,7 @@ def test_image_metrics():
     np.testing.assert_allclose(l2(a, b), 0.5 * (10 / 255) ** 2, rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_semantic_bfloat16_close_to_float32():
     """SemanticModel(dtype=bfloat16) shares float32 params and stays close
     to the float32 forward (BatchNorm stats and logits remain float32)."""
@@ -234,6 +240,7 @@ def test_semantic_bfloat16_close_to_float32():
     assert np.mean(np.abs(np.asarray(p16) - np.asarray(p32))) < 0.01
 
 
+@pytest.mark.slow
 def test_pix2pixhd_bfloat16_close_to_float32():
     import jax
     import jax.numpy as jnp
@@ -253,6 +260,7 @@ def test_pix2pixhd_bfloat16_close_to_float32():
     assert np.mean(np.abs(np.asarray(y16) - np.asarray(y32))) < 0.02
 
 
+@pytest.mark.slow
 def test_maskrcnn_bfloat16_detections_close():
     """MaskRCNNConfig(compute_dtype='bfloat16') shares float32 params and
     produces near-identical proposal scores on a small config."""

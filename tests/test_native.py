@@ -4,6 +4,8 @@ with the device NMS."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick
+
 from sdn3d_tpu.data import native
 
 

@@ -307,3 +307,51 @@ def test_pallas_v3_empty_scene_and_odd_size(rng, monkeypatch):
     hit = np.asarray(fi_x) >= 0
     np.testing.assert_allclose(np.asarray(d_p)[hit], np.asarray(d_x)[hit],
                                rtol=1e-4)
+
+
+def test_v3_with_color_matches_gather(rng):
+    """The v3 kernel's fused flat-color plane (10-bit packed) must match
+    the portable colors[face_index] gather to quantization tolerance."""
+    from sdn3d_tpu.ops import rasterize_pallas as RP
+
+    faces = random_faces(rng, batch=2, num_faces=37, z_range=(1.5, 6.0))
+    valid = np.ones((2, 37), bool)
+    colors = rng.uniform(-1, 1, (2, 37, 3)).astype(np.float32)
+    isz = 128
+
+    packed, aux, cb, perm = RP.pack_faces(
+        jnp.asarray(faces), jnp.asarray(valid), isz, version=3,
+        colors=jnp.asarray(colors))
+    fi, depth, rgb = RP.rasterize_face_index_pallas(
+        packed, aux, cb, isz, interpret=True, version=3, with_color=True)
+
+    want = R._gather_face_colors(fi, jnp.asarray(colors), perm)
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(want),
+                               atol=2.5 / 511.5)
+    # background exactly 0
+    bg = np.asarray(fi) < 0
+    assert (np.asarray(rgb)[bg] == 0).all()
+
+
+def test_pallas_walk_matches_xla_loop(rng):
+    """The halo-read Pallas walk kernel (interpret mode) must produce the
+    same silhouette gradient as the XLA fori+roll loop — same invariant
+    math, same gates, both windowed at the same walk."""
+    faces = random_faces(rng, batch=2, num_faces=19, z_range=(1.5, 6.0))
+    isz = 128
+    valid = jnp.ones((2, 19), bool)
+    fi, _, _, _ = R.rasterize_face_maps(jnp.asarray(faces),
+                                        valid, isz, impl="xla")
+    alpha = (np.asarray(fi) >= 0).astype(np.float32)
+    g_rng = np.random.RandomState(1)
+    cot = g_rng.randn(2, isz, isz).astype(np.float32)
+
+    kw = dict(image_size=isz, eps=R.DEFAULT_EPS, walk=24)
+    want = R._silhouette_grad_pixelwise(
+        jnp.asarray(faces), valid, fi, jnp.asarray(alpha),
+        jnp.asarray(cot), force_walk_impl="xla", **kw)
+    got = R._silhouette_grad_pixelwise(
+        jnp.asarray(faces), valid, fi, jnp.asarray(alpha),
+        jnp.asarray(cot), force_walk_impl="pallas", **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)

@@ -3,6 +3,9 @@
 import random
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.quick
 
 from sdn3d_tpu.data.semantic_data import (
     prepare_train_sample, resize_shorter_edge, round2nearest_multiple)

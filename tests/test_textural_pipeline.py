@@ -34,6 +34,7 @@ def setup():
     return trainer, state, batch
 
 
+@pytest.mark.slow
 def test_g_and_d_steps(setup):
     trainer, state, batch = setup
     g_step = jax.jit(trainer.make_g_step())
@@ -70,6 +71,7 @@ def test_netG_input_channels():
     assert cfg2.netG_input_nc == 49
 
 
+@pytest.mark.slow
 def test_global_encoder_vae_path(setup):
     """use_global_encoder: z conditioning channels + KL loss + netGlobalE
     params training (pix2pixHD_model.py:190-198,235-238)."""

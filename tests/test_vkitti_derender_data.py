@@ -4,6 +4,9 @@ Cross-checked property: rendering an object with the GT pose derived here
 must project its center back to the motgt 2D center."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.quick
 
 from sdn3d_tpu.data.vkitti import Camera
 from sdn3d_tpu.data.vkitti_derender import (
