@@ -82,8 +82,8 @@ def main():
         v = camera.look(v, eye, d, up)
         v = camera.perspective_divide(v, 30.0)
         fv = camera.vertices_to_faces(v, ff)
-        fi, perm = R._rasterize_sorted(fv, jnp.ones(ff.shape[:2], bool),
-                                       size, 0.1, 100.0)
+        fi, depth, perm = R._rasterize_sorted(fv, jnp.ones(ff.shape[:2], bool),
+                                              size, 0.1, 100.0)
         return (fi >= 0).astype(jnp.float32).sum(), perm.sum()
     timeit("raw sorted fi (no unperm)", jax.jit(raw), vcam, faces_idx)
 

@@ -64,7 +64,6 @@ def generate_edit_frame(trainer, state, base_img_t, base_label,
 
     from sdn3d_tpu.data.textural_data import (
         assemble_condition_maps, dense_instance_slots, transform_image)
-    from sdn3d_tpu.models.pix2pixhd import instance_feature_means
 
     stem = f"{index:05d}" if isinstance(index, int) else index
     inst_png = np.asarray(transform_image(
@@ -88,18 +87,23 @@ def generate_edit_frame(trainer, state, base_img_t, base_label,
     # source texture codes, splatted by target instance ids
     cfg = trainer.cfg
     slots, mapping = dense_instance_slots(maps["inst"], cfg.max_instances)
-    feats = trainer.encode_features_jit(state.params_e,
-                                        jnp.asarray(base_img_t[None]))
+    feats = np.asarray(trainer.encode_features_jit(
+        state.params_e, jnp.asarray(base_img_t[None])))[0]   # [H, W, feat]
     # codes from the SOURCE instance layout:
     src_slots, src_mapping = dense_instance_slots(
         np.asarray(base_label), cfg.max_instances)
     # For edit frames, codes are looked up by matching instance ids between
     # source and target (edit_vkitti.py:57,99-105): same k*1000 id = same
-    # object.
-    means, _ = instance_feature_means(
-        feats, jnp.asarray(src_slots[None]), cfg.max_instances)
+    # object.  Per-slot means computed host-side: the tiny segment-sum
+    # program intermittently wedges this TPU relay, and at 64 slots numpy
+    # is instant anyway.
+    flat = feats.reshape(-1, feats.shape[-1])
+    seg = src_slots.reshape(-1)
+    sums = np.zeros((cfg.max_instances, flat.shape[-1]), np.float32)
+    np.add.at(sums, seg, flat)
+    counts = np.bincount(seg, minlength=cfg.max_instances).astype(np.float32)
+    means_np = sums / np.maximum(counts[:, None], 1.0)
     feat_map = np.zeros(maps["inst"].shape + (cfg.feat_num,), np.float32)
-    means_np = np.asarray(means[0])
     for inst_id, slot in mapping.items():
         src_slot = src_mapping.get(inst_id)
         if src_slot is not None:
