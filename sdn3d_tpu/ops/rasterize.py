@@ -777,9 +777,10 @@ def _rasterize_sorted(faces, face_valid, image_size: int, near: float,
     groups (see segment_face_grads_pallas).  Per-face attributes can be
     permuted instead (F rows, not P).
 
-    colors [B, F, 3] in [-1, 1]: also return a flat-shaded color map
-    [B, H, W, 3], emitted by the v3 kernel in the same pass (the XLA
-    colors[fi] gather it replaces costs ~150 ms at 512^2 x 16)."""
+    colors [B, F, 3] in [-1, 1]: also return a flat-shaded color map,
+    PLANAR [B, 3, H, W], emitted by the v3 kernel in the same pass (the
+    XLA colors[fi] gather it replaces costs ~150 ms at 512^2 x 16; the
+    planar layout avoids a ~70 ms minor-axis relayout)."""
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if on_tpu and image_size % 128 == 0:
         from sdn3d_tpu.ops import rasterize_pallas as RP
@@ -796,13 +797,14 @@ def _rasterize_sorted(faces, face_valid, image_size: int, near: float,
             if with_color:
                 return outs[0], outs[1], perm, outs[2]
             rgb = _gather_face_colors(outs[0], colors, perm)
-            return outs[0], outs[1], perm, rgb
+            return outs[0], outs[1], perm, rgb.transpose(0, 3, 1, 2)
         return outs[0], outs[1], perm
     fi, _, depth, _ = rasterize_face_maps(
         faces, face_valid, image_size, near, far, return_face_inv=False,
         return_weights=False, impl="xla")
     if colors is not None:
-        return fi, depth, None, _gather_face_colors(fi, colors, None)
+        rgb = _gather_face_colors(fi, colors, None)
+        return fi, depth, None, rgb.transpose(0, 3, 1, 2)
     return fi, depth, None
 
 

@@ -724,12 +724,16 @@ def rasterize_face_index_pallas(
         depth = jnp.where(fi >= 0, 1.0 / jnp.maximum(depth, 1e-30),
                           jnp.float32(far))
     if with_color:
-        # unpack 3 x 10-bit [-1, 1] colors; background (fi < 0) -> 0
+        # unpack 3 x 10-bit [-1, 1] colors; background (fi < 0) -> 0.
+        # PLANAR [B, 3, H, W] layout: stacking on axis 1 keeps every op on
+        # full [H, W] lanes — the [B, H, W, 3] minor-axis stack measured
+        # ~79 ms vs ~8 ms planar at 512^2 x 16 on v5e (3-wide minor dims
+        # force lane-crossing relayouts).
         q = outs[2]
-        hit = (fi >= 0)[..., None]
+        hit = (fi >= 0)[:, None]
         rgb = jnp.stack([q & 0x3FF, (q >> 10) & 0x3FF, (q >> 20) & 0x3FF],
-                        axis=-1).astype(_f32) / 511.5 - 1.0
-        rgb = jnp.where(hit, rgb, 0.0)                 # [B, H, W, 3]
+                        axis=1).astype(_f32) / 511.5 - 1.0
+        rgb = jnp.where(hit, rgb, 0.0)                 # [B, 3, H, W]
         return fi, depth, rgb
     return fi, depth
 

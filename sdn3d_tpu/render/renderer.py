@@ -145,27 +145,47 @@ def render_targets(
     path.  Non-differentiable (inference/edit path); training uses
     `render` whose silhouette/depth carry custom VJPs.
     """
-    vertices = vertices * jnp.asarray([-1.0, 1.0, 1.0], vertices.dtype)
-    if fill_back:
-        faces, face_valid = _fill_back(faces, face_valid)
-
+    # The derender3d camera is FIXED (eye 0, direction -z, up +y,
+    # renderer.py:226-229), so `look` is exactly the rotation
+    # diag(-1, 1, -1); composed with the x-flip fix that is diag(1, 1, -1)
+    # on the raw vertices.  That lets the whole face pipeline run off ONE
+    # front-face gather: normals come from the looked faces rotated back
+    # (n_pre = diag(-1,1,-1) @ n_look), perspective is applied per-face
+    # elementwise, and fill_back is a winding-reversal slice + concat
+    # (back normals = -front).  vs the generic path (gather pre-look 2F
+    # faces for normals + gather post-perspective 2F faces) this is 1/4
+    # of the gather traffic — the gathers were ~130 ms of the 206 ms
+    # forward at 512^2 x 16 on v5e.
+    vlook = vertices * jnp.asarray([1.0, 1.0, -1.0], vertices.dtype)
+    fvl = camera.vertices_to_faces(vlook, faces)           # [B, F, 3, 3]
     if "normal" in targets:
-        fv0 = camera.vertices_to_faces(vertices, faces)
-        colors = camera.face_normals(fv0)                  # [B, F2, 3]
+        colors = camera.face_normals(fvl) * jnp.asarray(
+            [-1.0, 1.0, -1.0], vertices.dtype)             # [B, F, 3]
 
-    B = vertices.shape[0]
-    eye = jnp.zeros((B, 3), vertices.dtype)
-    direction = jnp.broadcast_to(
-        jnp.asarray([0.0, 0.0, -1.0], vertices.dtype), (B, 3))
-    up = jnp.broadcast_to(
-        jnp.asarray([0.0, 1.0, 0.0], vertices.dtype), (B, 3))
-    vcam = camera.look(vertices, eye, direction, up)
-    vcam = camera.perspective_divide(vcam, viewing_angle)
-    face_verts = camera.vertices_to_faces(vcam, faces)
+    # perspective_divide, elementwise on face verts (perspective.py:5-19)
+    angle = jnp.asarray(viewing_angle, vertices.dtype) / 180.0 * camera._REFERENCE_PI
+    width = jnp.broadcast_to(jnp.atleast_1d(jnp.tan(angle))[:, None, None],
+                             fvl.shape[:3])
+    z = fvl[..., 2]
+    face_verts = jnp.stack([fvl[..., 0] / z / width,
+                            fvl[..., 1] / z / width, z], axis=-1)
+
+    if fill_back:
+        # Orientation fold instead of the 2F concat: a (non-degenerate)
+        # face is front-facing in exactly one winding, so fill_back ==
+        # "flip the winding of back-facing faces" (back copies carry
+        # negated normals, nr renderer.py:99 convention).  Halves the
+        # face count through sort/pack/kernel; silhouette/depth/flat-color
+        # outputs are identical (the culled copy never wins a z-test).
+        ccw = R._frontface(face_verts)                     # [B, F]
+        face_verts = jnp.where(ccw[..., None, None], face_verts,
+                               face_verts[:, :, ::-1, :])
+        if "normal" in targets:
+            colors = jnp.where(ccw[..., None], colors, -colors)
 
     size = image_size * 2 if anti_aliasing else image_size
     if face_valid is None:
-        face_valid = jnp.ones(faces.shape[:2], bool)
+        face_valid = jnp.ones(face_verts.shape[:2], bool)
     # Sorted-face-space maps: silhouette/depth never need face ids, and
     # the normal colors are emitted by the raster kernel itself in the
     # same pass (the post-hoc colors[face_index] XLA gather costs ~150 ms
@@ -192,7 +212,7 @@ def render_targets(
     if "depth" in targets:
         out["depth"] = finish(depth, 1)[:, None]
     if "normal" in targets:
-        rgb = jnp.moveaxis(rgb, -1, 1)                        # [B, 3, H, W]
+        # rgb arrives planar [B, 3, H, W] from _rasterize_sorted
         rgb = finish(rgb, 2)
         out["normal"] = rgb * jnp.asarray(
             [-1.0, 1.0, 1.0], rgb.dtype)[None, :, None, None]

@@ -326,11 +326,13 @@ def test_v3_with_color_matches_gather(rng):
         packed, aux, cb, isz, interpret=True, version=3, with_color=True)
 
     want = R._gather_face_colors(fi, jnp.asarray(colors), perm)
-    np.testing.assert_allclose(np.asarray(rgb), np.asarray(want),
+    np.testing.assert_allclose(np.asarray(rgb),
+                               np.asarray(want).transpose(0, 3, 1, 2),
                                atol=2.5 / 511.5)
     # background exactly 0
-    bg = np.asarray(fi) < 0
-    assert (np.asarray(rgb)[bg] == 0).all()
+    bg = np.asarray(fi) < 0                                  # [B, H, W]
+    rgb_hwc = np.asarray(rgb).transpose(0, 2, 3, 1)
+    assert (rgb_hwc[bg] == 0).all()
 
 
 def test_pallas_walk_matches_xla_loop(rng):
@@ -355,3 +357,30 @@ def test_pallas_walk_matches_xla_loop(rng):
         jnp.asarray(cot), force_walk_impl="pallas", **kw)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_render_targets_matches_render(rng):
+    """render_targets' fused single-gather camera path (fixed derender3d
+    camera folded to diag(1,1,-1), per-face perspective, winding-reversal
+    fill_back) must match the generic render() per-type path exactly."""
+    from sdn3d_tpu.render import render, render_targets, RenderType
+
+    b_rng = np.random.RandomState(7)
+    verts = b_rng.uniform(-1, 1, (2, 20, 3)).astype(np.float32)
+    verts[..., 2] -= 4.0                                   # in front of cam
+    faces_idx = b_rng.randint(0, 20, (2, 11, 3)).astype(np.int32)
+
+    maps = render_targets(jnp.asarray(verts), jnp.asarray(faces_idx),
+                          ("silhouette", "normal", "depth"), image_size=64)
+    sil = render(jnp.asarray(verts), jnp.asarray(faces_idx),
+                 RenderType.Silhouette, image_size=64)
+    dep = render(jnp.asarray(verts), jnp.asarray(faces_idx),
+                 RenderType.Depth, image_size=64)
+    nrm = render(jnp.asarray(verts), jnp.asarray(faces_idx),
+                 RenderType.Normal, image_size=64)
+    np.testing.assert_allclose(np.asarray(maps["silhouette"]),
+                               np.asarray(sil), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(maps["depth"]),
+                               np.asarray(dep), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(maps["normal"]),
+                               np.asarray(nrm), rtol=2e-4, atol=2e-3)
