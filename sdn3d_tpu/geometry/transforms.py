@@ -76,9 +76,13 @@ def perspective_transform(
 
     if zoom_tos is not None:
         # Solve the zoom that makes the object exactly fill the view
-        # (transforms.py:148-149).
-        ratio = jnp.abs(z) / jnp.maximum(jnp.abs(x), jnp.abs(y))  # [B, V]
-        zooms = jnp.min(ratio, axis=1, keepdims=True) * zoom_tos   # [B, 1]
+        # (transforms.py:148-149).  Written as zoom_to / max(m/|z|) rather
+        # than the reference's min(|z|/m) * zoom_to: identical up to 2 ulp
+        # (incl. the m=0 -> inf and z=0 -> 0 edge cases), but the min-of-
+        # ratio form compiles ~10x slower on TPU (65.7 -> 6.2 ms at
+        # 16 x 18.7k verts; scripts/prof_zoomsolve.py).
+        inv = jnp.maximum(jnp.abs(x), jnp.abs(y)) / jnp.abs(z)    # [B, V]
+        zooms = zoom_tos / jnp.max(inv, axis=1, keepdims=True)    # [B, 1]
 
     z = z / zooms
 
