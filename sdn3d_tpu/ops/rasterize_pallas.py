@@ -959,7 +959,15 @@ def segment_face_grads_pallas(
 # Edge-invariant stack layout (per edge e: rows 6e..6e+5):
 #   d1_cross, direction, kA, kB, j_gate, is_in_pixel (f32 0/1)
 WALK_INV_ROWS = 18
-WALK_TILE_S = int(_os.getenv("SDN3D_WALK_TILE_S", "256"))
+# Row-tile sweep on v5e (512^2 x 16, walk=64; identical outputs):
+# 256 -> 274 ms, 128 -> 174, 64 -> 148, 32 -> 132, 16 -> 177.  Small row
+# tiles keep the per-cell working set (invariants + accumulators) small
+# enough for the pipeline to double-buffer; the extra column re-reads are
+# cheap (HBM is <1% utilized).  64 chosen over 32 to divide more sizes.
+WALK_TILE_S = int(_os.getenv("SDN3D_WALK_TILE_S", "64"))
+# unroll=n_steps (the only value Pallas supports besides 1) measured 12x
+# SLOWER (1514 vs 123 ms) + VMEM-OOMs at tile_s 256 — keep rolled.
+WALK_UNROLL = int(_os.getenv("SDN3D_WALK_UNROLL", "1"))
 
 
 def _walk_kernel(alpha_ref, grad_ref, inv_ref, acc_ref, *,
@@ -1023,7 +1031,12 @@ def _walk_kernel(alpha_ref, grad_ref, inv_ref, acc_ref, *,
         return tuple(accs)
 
     zero = jnp.zeros((tile_s, TILE_W), _f32)
-    a0, a1, a2 = jax.lax.fori_loop(1, n_steps + 1, body, (zero, zero, zero))
+    # Unrolling turns the (halo + s0 +- k) slice offsets into
+    # base+constant forms Mosaic can fold into strided loads; the rolled
+    # loop pays dynamic address generation on 4 VMEM reads per step
+    # (measured 5% of VPU peak rolled).
+    a0, a1, a2 = jax.lax.fori_loop(1, n_steps + 1, body, (zero, zero, zero),
+                                   unroll=WALK_UNROLL)
     acc_ref[0, 0] = a0
     acc_ref[0, 1] = a1
     acc_ref[0, 2] = a2
