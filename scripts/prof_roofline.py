@@ -48,7 +48,9 @@ def timeit(fn, *args, iters=6):
     return (time.perf_counter() - t0) / iters
 
 
-def face_verts():
+def load_inputs():
+    """Device-resident vcam + faces, passed as jit ARGS (closure-constant
+    index arrays trigger pathological constant folding — see bench.py)."""
     bank = load_shapenet_bank("/root/reference/geometric/assets")
     nv, nf = int(bank.num_vertices[0]), int(bank.num_faces[0])
     rng = np.random.RandomState(0)
@@ -59,9 +61,13 @@ def face_verts():
         [rng.uniform(-1, 1, B), rng.uniform(-0.5, 0.5, B),
          -rng.uniform(5, 12, B)], 1).astype(np.float32))
     q = y_rotation_quaternion(thetas)
-    vcam, _ = perspective_transform(
+    vcam, _ = jax.jit(perspective_transform, static_argnames=())(
         verts, scales=jnp.ones((B, 3)), rotations=q, translations=trans,
         perspective_translations=trans, zoom_tos=jnp.full((B, 1), 0.5))
+    return jax.block_until_ready(vcam), faces
+
+
+def face_pipeline(vcam, faces):
     # fixed-camera face pipeline, as render_targets (renderer.py:159-182)
     vlook = vcam * jnp.asarray([1.0, 1.0, -1.0], vcam.dtype)
     faces2, _ = _fill_back(faces, None)
@@ -75,19 +81,18 @@ def face_verts():
 
 
 def main():
-    fv_probe = face_verts()
-    Bv, F = fv_probe.shape[:2]
-    valid = jnp.ones((Bv, F), bool)
-    print(f"workload: B={Bv} F={F} (fill_back), raster {SIZE}^2, walk={WALK}")
+    vcam, faces = load_inputs()
+    F = faces.shape[1] * 2   # fill_back
+    valid_shape = (B, F)
+    print(f"workload: B={B} F={F} (fill_back), raster {SIZE}^2, walk={WALK}")
 
-    # ---- v3 forward kernel (pack + kernel, fenced on a scalar) ----
-    # NOTE: the whole chain from vertices must live in ONE jit — a
-    # [B, F, 3, 3] minor-dim jit INPUT pays a ~2 s relayout at F=80k
-    # (measured; see verify SKILL.md).  Pack is timed separately and
-    # subtracted to isolate the kernel.
+    # ---- v3 forward kernel (geom+pack+kernel from jit ARGS; the
+    # [B, F, 3, 3] intermediate must stay INSIDE one jit — as a jit
+    # boundary it pays a ~2 s minor-dim relayout at F=80k) ----
     @jax.jit
-    def fwd(salt=0.0):
-        fv = face_verts() + salt
+    def fwd(vcam, faces, salt=0.0):
+        fv = face_pipeline(vcam + salt, faces)
+        valid = jnp.ones(valid_shape, bool)
         packed, aux, cb, perm = RP.pack_faces(fv, valid, SIZE, version=3)
         fi, depth = RP.rasterize_face_index_pallas(packed, aux, cb, SIZE,
                                                    R.DEFAULT_NEAR,
@@ -95,15 +100,17 @@ def main():
         return (fi >= 0).sum(), depth.sum()
 
     @jax.jit
-    def packonly(salt=0.0):
-        fv = face_verts() + salt
+    def packonly(vcam, faces, salt=0.0):
+        fv = face_pipeline(vcam + salt, faces)
+        valid = jnp.ones(valid_shape, bool)
         packed, aux, cb, perm = RP.pack_faces(fv, valid, SIZE, version=3)
         return packed.sum(), aux.sum(), cb.sum()
 
-    dt_pack = timeit(packonly)
-    dt_full = timeit(fwd)
+    dt_pack = timeit(packonly, vcam, faces)
+    dt_full = timeit(fwd, vcam, faces)
     print(f"geom+pack: {dt_pack*1e3:8.1f} ms; full: {dt_full*1e3:8.1f} ms")
     dt = dt_full - dt_pack
+    Bv = B
     ns_face = dt / (Bv * F) * 1e9
     cycles = ns_face * V5E_SCALAR_HZ / 1e9
     # HBM traffic: packed 16 rows + aux 8 rows f32/int32 + fi/depth out

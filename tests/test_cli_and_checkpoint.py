@@ -38,6 +38,7 @@ def test_semantic_train_cli_synthetic(tmp_path):
     assert latest_step(str(tmp_path / "ck")) == 2
 
 
+@pytest.mark.slow
 def test_semantic_test_cli_single_image(tmp_path):
     from PIL import Image
     from sdn3d_tpu.cli.semantic_test import main

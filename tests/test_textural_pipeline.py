@@ -12,14 +12,16 @@ from sdn3d_tpu.pipelines.textural import (
     TexturalConfig, TexturalTrainer, encode_input)
 
 
+# Split fixtures: `cfg_batch` is cheap (no flax init / jit); `setup`
+# additionally pays trainer.init (~70 s of CPU compiles) and is only
+# pulled in by slow-marked tests, keeping the default tier fast.
 @pytest.fixture(scope="module")
-def setup():
+def cfg_batch():
     cfg = TexturalConfig(ngf=8, ndf=8, nef=4, n_downsample_global=2,
                          n_blocks_global=2, n_downsample_e=2, n_layers_d=2,
                          use_vgg_loss=False, max_instances=8)
     trainer = TexturalTrainer(cfg)
     H, W = 48, 64
-    state = trainer.init(jax.random.PRNGKey(0), H, W)
     rng = np.random.RandomState(0)
     inst = np.zeros((1, H, W), np.int32)
     inst[:, :, W // 2:] = 1
@@ -31,6 +33,13 @@ def setup():
         "pose": jnp.asarray(rng.randint(0, 25, (1, H, W)).astype(np.int32)),
         "normal": jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32)),
     }
+    return trainer, batch
+
+
+@pytest.fixture(scope="module")
+def setup(cfg_batch):
+    trainer, batch = cfg_batch
+    state = trainer.init(jax.random.PRNGKey(0), 48, 64)
     return trainer, state, batch
 
 
@@ -55,6 +64,7 @@ def test_g_and_d_steps(setup):
     assert dg > 0 and dd > 0
 
 
+@pytest.mark.slow
 def test_fake_inference_shape_and_range(setup):
     trainer, state, batch = setup
     out = trainer.fake_inference(state, batch)
@@ -104,6 +114,7 @@ def test_global_encoder_vae_path(setup):
     assert float(jnp.abs(out_mean - out_sampled).max()) > 0
 
 
+@pytest.mark.slow
 def test_image_pool_wiring(setup):
     """pool_size > 0 routes a history-pooled conditioning‖fake stack into
     the D fake loss (pix2pixHD_model.py:168-174)."""
@@ -120,8 +131,8 @@ def test_image_pool_wiring(setup):
     assert len(trainer.fake_pool.images) >= 1
 
 
-def test_encode_input_shapes(setup):
-    trainer, state, batch = setup
+def test_encode_input_shapes(cfg_batch):
+    trainer, batch = cfg_batch
     x = encode_input(trainer.cfg, batch["label"], batch["inst"])
     assert x.shape == (1, 48, 64, 15)
     # one-hot sums to 1 on the label block
