@@ -24,7 +24,6 @@ from sdn3d_tpu.geometry.transforms import (perspective_transform,
 from sdn3d_tpu.geometry import camera
 from sdn3d_tpu.ops import rasterize as R
 from sdn3d_tpu.ops import rasterize_pallas as RP
-from sdn3d_tpu.render.renderer import _fill_back
 
 SIZE = int(sys.argv[1]) if len(sys.argv) > 1 else 512
 WALK = int(sys.argv[2]) if len(sys.argv) > 2 else 64
@@ -68,23 +67,33 @@ def load_inputs():
 
 
 def face_pipeline(vcam, faces):
-    # fixed-camera face pipeline, as render_targets (renderer.py:159-182)
+    """Fixed-camera face pipeline exactly as fused render_targets
+    (renderer.py:159-185): look+x-flip folded into one diag, elementwise
+    perspective, and fill_back as a winding-reversal FOLD (face count
+    stays F — the culled copy never wins a z-test).
+
+    The pre-fix version of this script concatenated 2F fill_back faces
+    instead: the back copies have mirrored bboxes that unsort the Morton
+    order and double every cull structure, which inflated the measured
+    kernel time ~10x vs the production path (879 ms vs ~80 ms at 512^2).
+    Roofline numbers must be taken on the production pipeline."""
     vlook = vcam * jnp.asarray([1.0, 1.0, -1.0], vcam.dtype)
-    faces2, _ = _fill_back(faces, None)
-    fvl = camera.vertices_to_faces(vlook, faces2)
+    fvl = camera.vertices_to_faces(vlook, faces)
     angle = jnp.asarray(30.0, vcam.dtype) / 180.0 * camera._REFERENCE_PI
     width = jnp.broadcast_to(jnp.atleast_1d(jnp.tan(angle))[:, None, None],
                              fvl.shape[:3])
     z = fvl[..., 2]
-    return jnp.stack([fvl[..., 0] / z / width,
-                      fvl[..., 1] / z / width, z], axis=-1)
+    fv = jnp.stack([fvl[..., 0] / z / width,
+                    fvl[..., 1] / z / width, z], axis=-1)
+    ccw = R._frontface(fv)
+    return jnp.where(ccw[..., None, None], fv, fv[:, :, ::-1, :])
 
 
 def main():
     vcam, faces = load_inputs()
-    F = faces.shape[1] * 2   # fill_back
-    valid_shape = (B, F)
-    print(f"workload: B={B} F={F} (fill_back), raster {SIZE}^2, walk={WALK}")
+    F = faces.shape[1]   # winding-fold fill_back keeps F faces
+    print(f"workload: B={B} F={F} (winding-fold), raster {SIZE}^2,"
+          f" walk={WALK}")
 
     # ---- v3 forward kernel (geom+pack+kernel from jit ARGS; the
     # [B, F, 3, 3] intermediate must stay INSIDE one jit — as a jit
@@ -92,8 +101,7 @@ def main():
     @jax.jit
     def fwd(vcam, faces, salt=0.0):
         fv = face_pipeline(vcam + salt, faces)
-        valid = jnp.ones(valid_shape, bool)
-        packed, aux, cb, perm = RP.pack_faces(fv, valid, SIZE, version=3)
+        packed, aux, cb, perm = RP.pack_faces(fv, None, SIZE, version=3)
         fi, depth = RP.rasterize_face_index_pallas(packed, aux, cb, SIZE,
                                                    R.DEFAULT_NEAR,
                                                    R.DEFAULT_FAR, version=3)
@@ -102,8 +110,7 @@ def main():
     @jax.jit
     def packonly(vcam, faces, salt=0.0):
         fv = face_pipeline(vcam + salt, faces)
-        valid = jnp.ones(valid_shape, bool)
-        packed, aux, cb, perm = RP.pack_faces(fv, valid, SIZE, version=3)
+        packed, aux, cb, perm = RP.pack_faces(fv, None, SIZE, version=3)
         return packed.sum(), aux.sum(), cb.sum()
 
     dt_pack = timeit(packonly, vcam, faces)
