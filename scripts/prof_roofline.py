@@ -38,11 +38,16 @@ def fence(x):
 
 
 def timeit(fn, *args, iters=6):
-    out = fn(*args)
+    # Warm up WITH the salt kwarg: jit bakes an unpassed default argument
+    # in as a Python constant, so the first salted call retraces — warming
+    # up with fn(*args) alone puts a ~9 s recompile inside the timing
+    # loop and poisons the measurement (the source of this script's
+    # earlier bogus 648-cycles/face figure).
+    out = fn(*args, salt=1e-6)
     fence(jax.tree_util.tree_leaves(out)[0])
     t0 = time.perf_counter()
     for i in range(iters):
-        out = fn(*args, salt=1e-6 * (i + 1))
+        out = fn(*args, salt=1e-6 * (i + 2))
     fence(jax.tree_util.tree_leaves(out)[0])
     return (time.perf_counter() - t0) / iters
 

@@ -64,17 +64,29 @@ def render(
     # x-flip fix (renderer.py:241-243)
     vertices = vertices * jnp.asarray([-1.0, 1.0, 1.0], vertices.dtype)
 
-    if fill_back:
+    # fill_back for Silhouette/Depth/Normal is a winding-reversal FOLD
+    # applied after projection (same trick as render_targets): a
+    # non-degenerate face front-faces in exactly one winding, so
+    # duplicating 2F faces is equivalent to flipping the winding of
+    # back-facing ones — and halves the face count through sort / pack /
+    # kernel / pixel->face reduction, including the training backward
+    # (the 2F path's back copies are pack-culled, so their grads are
+    # identically zero; the fold routes the same gradient through the
+    # jnp.where reversal instead).  RGB keeps the 2F concat because back
+    # copies need transposed texture cubes, not just a winding flip.
+    fold_back = fill_back and not (render_type == RenderType.RGB
+                                   and textures is not None)
+    if fill_back and not fold_back:
         faces, face_valid = _fill_back(faces, face_valid)
-        if render_type == RenderType.RGB and textures is not None:
-            # back copies get transposed texture cubes (nr renderer.py:99)
-            textures = jnp.concatenate(
-                [textures, jnp.transpose(textures, (0, 1, 4, 3, 2, 5))],
-                axis=1)
+        # back copies get transposed texture cubes (nr renderer.py:99)
+        textures = jnp.concatenate(
+            [textures, jnp.transpose(textures, (0, 1, 4, 3, 2, 5))],
+            axis=1)
 
     if render_type == RenderType.Normal:
         # Per-face normals from pre-camera vertices, NMR texture-cube
-        # convention (renderer.py:60-77); back copies get negated normals.
+        # convention (renderer.py:60-77); back copies get negated normals
+        # (with fold_back: negated where the winding gets reversed).
         fv = camera.vertices_to_faces(vertices, faces)
         colors = camera.face_normals(fv)                       # [B, F2, 3]
 
@@ -90,11 +102,19 @@ def render(
     vertices = camera.perspective_divide(vertices, viewing_angle)
     if vertex_adjacency is not None:
         # gather-based VJP (see camera.vertices_to_faces_adj); `faces` is
-        # the filled list when fill_back, adjacency covers the front half.
+        # the filled list when 2F fill_back, adjacency covers the front
+        # half (with fold_back the face list is the original F faces).
         face_verts = camera.vertices_to_faces_adj(
-            vertices, faces, vertex_adjacency, fill_back)
+            vertices, faces, vertex_adjacency, fill_back and not fold_back)
     else:
         face_verts = camera.vertices_to_faces(vertices, faces)
+
+    if fold_back:
+        ccw = R._frontface(face_verts)                         # [B, F]
+        face_verts = jnp.where(ccw[..., None, None], face_verts,
+                               face_verts[:, :, ::-1, :])
+        if render_type == RenderType.Normal:
+            colors = jnp.where(ccw[..., None], colors, -colors)
 
     if render_type == RenderType.Silhouette:
         a = R.rasterize_silhouettes(face_verts, face_valid, image_size,
