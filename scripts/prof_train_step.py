@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 
 from sdn3d_tpu.geometry.assets import load_shapenet_bank
-from sdn3d_tpu.models.derenderer import Derenderer, TargetType
+from sdn3d_tpu.models.derenderer import (Derenderer, DeviceMeshBank,
+                                         TargetType)
 from sdn3d_tpu.pipelines.derender import DerenderTrainer
 
 RENDER = int(sys.argv[1]) if len(sys.argv) > 1 else 384
@@ -71,7 +72,8 @@ def make_batch(rng):
 
 
 def main():
-    bank = load_shapenet_bank("/root/reference/geometric/assets")
+    bank = DeviceMeshBank.from_host(
+        load_shapenet_bank("/root/reference/geometric/assets"))
     model = Derenderer()
     rng = np.random.RandomState(0)
     batch = make_batch(rng)

@@ -139,43 +139,61 @@ def build_default_ignores(image_masks: np.ndarray, log_depths: np.ndarray,
     return out
 
 
+_OPT_KEYS = ("_theta_deltas", "_translation2ds", "_log_scales",
+             "_ffd_coeffs")
+
+
+@functools.lru_cache(maxsize=8)
+def _refine_jit(image_size: int, render_size: int, num_opts: int,
+                opt_lr: float, ffd_opt_reg: float, use_ignores: bool):
+    """One jit for the whole refinement loop.  The per-image blob, masks
+    and bank are ARGUMENTS (closure-captured arrays would be baked in as
+    constants, recompiling per image and stalling the TPU constant
+    folder), and the num_opts Adam iterations run as a lax.scan — one
+    dispatch instead of num_opts."""
+    opt = optax.adam(opt_lr)
+
+    def loss_fn(p, frozen, bank, masks, ignores):
+        b = dict(frozen)
+        b.update(p)
+        # model.train() + _force_no_sample=True during refinement
+        # (main.py:424-425): training-mode projection, argmax class.
+        out = render_blob(b, bank, TargetType.reproject, image_size,
+                          render_size, training=True, force_no_sample=True)
+        l = (out["_masks"] - masks) ** 2 + ffd_opt_reg * jnp.mean(
+            p["_ffd_coeffs"] ** 2)
+        if use_ignores:
+            l = l * (1 - ignores)
+        return jnp.mean(l)
+
+    def run(params0, frozen, bank, masks, ignores):
+        def body(carry, _):
+            p, state = carry
+            l, g = jax.value_and_grad(loss_fn)(p, frozen, bank, masks,
+                                               ignores)
+            updates, state = opt.update(g, state)
+            return (optax.apply_updates(p, updates), state), l
+
+        (p, _), losses = jax.lax.scan(body, (params0, opt.init(params0)),
+                                      None, length=num_opts)
+        return p, losses
+
+    return jax.jit(run)
+
+
 def refine_silhouettes(blob: Dict[str, jnp.ndarray], bank: DeviceMeshBank,
                        masks: jnp.ndarray, ignores: Optional[jnp.ndarray],
                        cfg: DerenderInferConfig) -> Dict[str, jnp.ndarray]:
     """Test-time optimization of pose/shape against detected masks
     (main.py:420-459): Adam(3e-2) over theta/translation2d/log_scale/ffd,
     argmax class, silhouette MSE + 100 * mean(ffd^2), ignore-masked."""
-    opt_keys = ["_theta_deltas", "_translation2ds", "_log_scales",
-                "_ffd_coeffs"]
-    params0 = {k: blob[k] for k in opt_keys}
+    params0 = {k: blob[k] for k in _OPT_KEYS}
     frozen = {k: jax.lax.stop_gradient(v) for k, v in blob.items()}
 
-    def loss_fn(p, bank):
-        b = dict(frozen)
-        b.update(p)
-        # model.train() + _force_no_sample=True during refinement
-        # (main.py:424-425): training-mode projection, argmax class.
-        out = render_blob(b, bank, TargetType.reproject, cfg.image_size,
-                          cfg.render_size, training=True,
-                          force_no_sample=True)
-        l = (out["_masks"] - masks) ** 2 + cfg.ffd_opt_reg * jnp.mean(
-            p["_ffd_coeffs"] ** 2)
-        if ignores is not None:
-            l = l * (1 - ignores)
-        return jnp.mean(l)
-
-    opt = optax.adam(cfg.opt_lr)
-
-    @jax.jit
-    def step(p, state, bank):
-        l, g = jax.value_and_grad(loss_fn)(p, bank)
-        updates, state = opt.update(g, state)
-        return optax.apply_updates(p, updates), state, l
-
-    p = params0
-    state = opt.init(p)
-    for _ in range(cfg.num_opts):
-        p, state, _ = step(p, state, bank)
+    run = _refine_jit(cfg.image_size, cfg.render_size, cfg.num_opts,
+                      cfg.opt_lr, cfg.ffd_opt_reg, ignores is not None)
+    ign = ignores if ignores is not None else jnp.zeros_like(masks)
+    p, _ = run(params0, frozen, bank, masks, ign)
 
     out = dict(blob)
     out.update({k: jax.lax.stop_gradient(v) for k, v in p.items()})
