@@ -424,15 +424,21 @@ def _silhouette_grad_pixelwise(
         # on transposed planes — walks must follow the sublane axis.
         from sdn3d_tpu.ops import rasterize_pallas as RP
         for axis in range(2):
+            # One gather serves both axes: gather(pp, fi.T) is the spatial
+            # transpose of gather(pp, fi), and transposing the 6 gathered
+            # planes is pure bandwidth while the per-pixel gather is the
+            # single most expensive primitive in the backward (~320 ms of
+            # the 430 ms VJP at 768^2 x 16 when done per axis).
             if axis == 0:
                 hit_l, fi_l = hit, fi_c
                 alpha_l, grad_l = alpha, grad_alpha
+                pp_l = pp_px
             else:
                 hit_l = hit.transpose(0, 2, 1)
                 fi_l = fi_c.transpose(0, 2, 1)
                 alpha_l = alpha.transpose(0, 2, 1)
                 grad_l = grad_alpha.transpose(0, 2, 1)
-            pp_l = jax.vmap(lambda pb, fb: pb[fb])(pp_all, fi_l)
+                pp_l = pp_px.transpose(0, 2, 1, 3, 4)
             u_all = pp_l[..., axis]          # d0-coordinate of vertices
             v_all = pp_l[..., 1 - axis]      # d1 (walk) coordinate
             d1 = jax.lax.broadcasted_iota(_f32, (isz, isz), 0)[None]

@@ -214,10 +214,15 @@ def test_pallas_kernel_matches_xla(rng, version, monkeypatch):
                                atol=1e-5)
 
 
-def test_silhouette_backward_pixelwise_vs_facewise(rng):
+def test_silhouette_backward_pixelwise_vs_facewise():
     """The pixel-parallel backward must equal the face-chunk dense variant
-    (both re-express rasterize.py:514-745)."""
-    faces = random_faces(rng, batch=2, num_faces=7)
+    (both re-express rasterize.py:514-745).
+
+    Own seeded RNG, not the shared module fixture: the two variants differ
+    by float reassociation, and on some draws the 1e-3 tolerance is
+    marginal — the shared RNG made pass/fail depend on which other tests
+    ran first (caught by a `-k` subset run)."""
+    faces = random_faces(np.random.RandomState(17), batch=2, num_faces=7)
     isz = 20
     g_rng = np.random.RandomState(5)
     cot = jnp.asarray(g_rng.randn(2, isz, isz).astype(np.float32))
