@@ -86,7 +86,10 @@ def main():
     #    would bill the dev relay's ~22 MB/s D2H link (~180 ms for 4 MB)
     #    to the render, which real PCIe/ICI does not charge.  Production
     #    consumers (the edit pipeline) keep the maps on device anyway.
-    n_iters = 5
+    # 12 iterations: single 5-iter samples spread 76-86 obj/s on the
+    # relay (drift between dispatch bursts); interleaved single-process
+    # measurements put the device time at ~135 ms/iter for this workload.
+    n_iters = 12
     t0 = time.perf_counter()
     for i in range(n_iters):
         out = step_jit(verts, faces, thetas + 0.01 * (i + 1), trans)

@@ -80,9 +80,25 @@ def main():
         return (maps["silhouette"], maps["normal"], maps["depth"],
                 maps["depth"].sum())
 
-    timeit("A scalarized", a_fn, verts, faces, thetas, vary=2)
-    timeit("B full-maps", b_fn, verts, faces, thetas, vary=2)
-    timeit("C no-transform", c_fn, vcam, faces, vary=0)
+    # Interleave round-robin: sequential per-variant loops are exposed to
+    # the relay's slow drift (+-30% between blocks); interleaving cancels
+    # it (see verify SKILL.md measurement notes).
+    variants = [
+        ("A scalarized", a_fn, lambda i: (verts, faces, thetas + 1e-5 * i)),
+        ("B full-maps", b_fn, lambda i: (verts, faces, thetas + 1e-5 * i)),
+        ("C no-transform", c_fn, lambda i: (vcam + 1e-6 * i, faces)),
+    ]
+    for _, fn, argf in variants:
+        fence(fn(*argf(0)))
+    iters = 8
+    tot = {n: 0.0 for n, _, _ in variants}
+    for i in range(1, iters + 1):
+        for n, fn, argf in variants:
+            t0 = time.perf_counter()
+            fence(fn(*argf(i)))
+            tot[n] += time.perf_counter() - t0
+    for n, dt in tot.items():
+        print(f"{n:16s}: {dt/iters*1e3:8.1f} ms")
 
 
 if __name__ == "__main__":
