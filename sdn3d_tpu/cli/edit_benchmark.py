@@ -56,8 +56,10 @@ def main(argv=None):
 
     l1s = []
     lpipss = []
+    pair_times = []
     t0 = time.perf_counter()
     for item in items:
+        tp = time.perf_counter()
         src = os.path.join(args.data_root, "vkitti_1.3.1_rgb", item.world,
                            item.topic, f"{item.source}.png")
         tgt = os.path.join(args.data_root, "vkitti_1.3.1_rgb", item.world,
@@ -85,6 +87,7 @@ def main(argv=None):
                             "target": tensor2im(target_t)},
                            item.target_name)
         print(f"{item.target_name}: L1={l1:.4f} LPIPS={lp:.4f}")
+        pair_times.append(time.perf_counter() - tp)
     dt = time.perf_counter() - t0
 
     result = {
@@ -94,6 +97,11 @@ def main(argv=None):
         "textural_s": dt,
         "textural_edits_per_sec": len(l1s) / dt,
     }
+    if len(pair_times) > 1:
+        # serving-rate view: jit compiles land on the first pair
+        steady = float(np.mean(pair_times[1:]))
+        result["textural_steady_s_per_pair"] = steady
+        result["textural_steady_edits_per_sec"] = 1.0 / steady
     if args.chain_times:
         with open(args.chain_times) as f:
             upstream = json.load(f)
