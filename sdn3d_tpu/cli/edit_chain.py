@@ -1,0 +1,145 @@
+"""Fused single-process 92-pair edit benchmark driver.
+
+Runs the full edit protocol — semantic labels, geometric de-render +
+edit + re-render, textural regeneration, L1/LPIPS vs the target — in ONE
+process with all three branch programs jit-cached (pipelines/chain.py),
+instead of the reference's three processes glued by PNG files
+(README.md:153-189).  Output is byte-identical to driving
+`cli/semantic_test` -> `cli/geometric_main` -> `cli/edit_benchmark`
+through the filesystem; what changes is the honest end-to-end cost: no
+per-stage process startup, recompilation, or PNG round-trips.
+
+Use `--dump_dirs` to also write the standard per-stage file contract.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--edit_json", required=True)
+    p.add_argument("--data_root", default=os.environ.get("VKITTI_ROOT_DIR"))
+    p.add_argument("--shapenet_root",
+                   default=os.environ.get("SHAPENET_ROOT_DIR"))
+    p.add_argument("--source", choices=["gt", "maskrcnn"], default="gt")
+    p.add_argument("--semantic_ckpt", default=None)
+    p.add_argument("--derender_ckpt", default=None)
+    p.add_argument("--textural_ckpt", default=None)
+    p.add_argument("--maskrcnn_ckpt", default=None)
+    p.add_argument("--results_dir", default="./benchmark_chain_out")
+    p.add_argument("--dump_dirs", default=None,
+                   help="write the standard file contract under "
+                        "DIR/segm and DIR/geo as a side effect")
+    p.add_argument("--limit", type=int, default=None)
+    # stage shape knobs (defaults = the per-stage CLI defaults)
+    p.add_argument("--scales", type=int, nargs="+",
+                   default=[100, 150, 200, 300, 375])
+    p.add_argument("--image_size", type=int, default=256)
+    p.add_argument("--render_size", type=int, default=384)
+    p.add_argument("--num_opts", type=int, default=0)
+    p.add_argument("--mode", default="extend")
+    p.add_argument("--load_size", type=int, default=624)
+    p.add_argument("--fine_width", type=int, default=624)
+    p.add_argument("--fine_height", type=int, default=192)
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    return p
+
+
+def main(argv=None):
+    from PIL import Image
+
+    from sdn3d_tpu.cli.geometric_main import _keep_largest
+    from sdn3d_tpu.data import vkitti as VK
+    from sdn3d_tpu.data.textural_data import transform_image
+    from sdn3d_tpu.pipelines.chain import ChainConfig, EditChain
+    from sdn3d_tpu.utils import metrics
+    from sdn3d_tpu.utils.visualizer import HTMLGallery, tensor2im
+
+    args = build_argparser().parse_args(argv)
+    cfg = ChainConfig(scales=tuple(args.scales), image_size=args.image_size,
+                      render_size=args.render_size, num_opts=args.num_opts,
+                      mode=args.mode, load_size=args.load_size,
+                      fine_width=args.fine_width,
+                      fine_height=args.fine_height,
+                      compute_dtype=args.compute_dtype)
+    chain = EditChain.build(
+        cfg, args.shapenet_root, semantic_ckpt=args.semantic_ckpt,
+        derender_ckpt=args.derender_ckpt, textural_ckpt=args.textural_ckpt,
+        maskrcnn_ckpt=args.maskrcnn_ckpt,
+        with_detector=(args.source == "maskrcnn"))
+
+    items = VK.benchmark_split(VK.load_edit_json(args.edit_json))
+    if args.limit:
+        items = items[:args.limit]
+    table_inst = (VK.get_tables("inst", args.data_root)
+                  if args.source == "gt" else None)
+    gallery = HTMLGallery(args.results_dir, "fused 92-pair edit benchmark")
+    wh = (args.fine_width, args.fine_height)
+
+    l1s, lpipss, pair_times = [], [], []
+    t0 = time.perf_counter()
+    for item in items:
+        tp = time.perf_counter()
+        frame = int(item.source)
+        image = np.asarray(Image.open(VK.rgb_path(
+            args.data_root, item.world, item.topic,
+            frame)).convert("RGB"))
+        dets = None
+        if table_inst is not None:
+            dets = _keep_largest(chain._infer_cfg, *VK.gt_objects(
+                args.data_root, item.world, item.topic, frame, table_inst))
+        out = chain.edit_frame(image, operations=item.operations,
+                               dets=dets, cache_key=item.source_name)
+
+        tgt = os.path.join(args.data_root, "vkitti_1.3.1_rgb", item.world,
+                           item.topic, f"{item.target}.png")
+        target_t = transform_image(Image.open(tgt).convert("RGB"),
+                                   args.load_size, wh)
+        l1 = float(np.abs(out["fake"] - target_t).mean())
+        lp = metrics.lpips(tensor2im(out["fake"]), tensor2im(target_t))
+        l1s.append(l1)
+        lpipss.append(lp)
+        gallery.add_images({"generated": tensor2im(out["fake"]),
+                            "target": tensor2im(target_t)},
+                           item.target_name)
+        if args.dump_dirs:
+            chain.dump(out["label"], out["geo"],
+                       os.path.join(args.dump_dirs, "segm"),
+                       os.path.join(args.dump_dirs, "geo"),
+                       item.source_name, item.target_name)
+        print(f"{item.target_name}: L1={l1:.4f} LPIPS={lp:.4f}")
+        pair_times.append(time.perf_counter() - tp)
+    dt = time.perf_counter() - t0
+
+    result = {
+        "mean_L1": float(np.mean(l1s)),
+        "mean_LPIPS": float(np.mean(lpipss)),
+        "pairs": len(l1s),
+        "chain_s": dt,
+        "stage_s": {k: round(v, 3) for k, v in chain.stage_s.items()},
+        # all three stages, one process — directly comparable to the
+        # reference protocol's end-to-end cost
+        "edits_per_sec": len(l1s) / dt,
+    }
+    if len(pair_times) > 1:
+        # serving-rate view: jit compiles land on the first pair
+        steady = float(np.mean(pair_times[1:]))
+        result["steady_s_per_pair"] = steady
+        result["steady_edits_per_sec"] = 1.0 / steady
+    os.makedirs(args.results_dir, exist_ok=True)
+    with open(os.path.join(args.results_dir, "benchmark.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+    gallery.save()
+
+
+if __name__ == "__main__":
+    main()

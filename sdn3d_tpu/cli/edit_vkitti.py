@@ -53,30 +53,26 @@ def load_trainer(args):
     return trainer, state
 
 
-def generate_edit_frame(trainer, state, base_img_t, base_label,
-                        edit_dir, index, wh, args):
-    """Assemble one edit frame's conditioning + generate
-    (edit_vkitti.py:63-107).  `index` is the geometric output stem: an int
-    (zero-padded, the example-edit layout) or a string (benchmark
-    target_name layout)."""
+def generate_edit_from_images(trainer, state, base_img_t, base_label,
+                              inst_img, json_obj, normal_img, wh, args):
+    """Core of the textural edit step from in-memory PIL images.
+
+    Entry point of the fused single-process chain
+    (pipelines/chain.py): byte-identical to the file-based path, since
+    the PNG round-trip it skips is lossless.  `inst_img` is the full-res
+    instance map (L mode), `normal_img` an RGB image or None."""
     import jax.numpy as jnp
-    from PIL import Image
 
     from sdn3d_tpu.data.textural_data import (
         assemble_condition_maps, dense_instance_slots, transform_image)
 
-    stem = f"{index:05d}" if isinstance(index, int) else index
     inst_png = np.asarray(transform_image(
-        Image.open(os.path.join(edit_dir, f"{stem}.png")),
-        args.load_size, wh, nearest=True, normalize=False) * 255.0
-    ).astype(np.int32)[..., 0]
-    with open(os.path.join(edit_dir, f"{stem}.json")) as f:
-        json_obj = json.load(f)
-    normal_path = os.path.join(edit_dir, f"{stem}-normal.png")
+        inst_img, args.load_size, wh, nearest=True, normalize=False)
+        * 255.0).astype(np.int32)[..., 0]
     normal_png = None
-    if os.path.exists(normal_path):
+    if normal_img is not None:
         normal_png = np.asarray(transform_image(
-            Image.open(normal_path).convert("RGB"), args.load_size, wh,
+            normal_img.convert("RGB"), args.load_size, wh,
             normalize=False)) * 255.0
 
     maps = assemble_condition_maps(base_label, inst_png, json_obj,
@@ -120,6 +116,26 @@ def generate_edit_frame(trainer, state, base_img_t, base_label,
     fake = trainer.fake_inference_jit(state, batch,
                                       jnp.asarray(feat_map[None]))
     return np.asarray(fake[0]), maps
+
+
+def generate_edit_frame(trainer, state, base_img_t, base_label,
+                        edit_dir, index, wh, args):
+    """Assemble one edit frame's conditioning + generate
+    (edit_vkitti.py:63-107).  `index` is the geometric output stem: an int
+    (zero-padded, the example-edit layout) or a string (benchmark
+    target_name layout)."""
+    from PIL import Image
+
+    stem = f"{index:05d}" if isinstance(index, int) else index
+    inst_img = Image.open(os.path.join(edit_dir, f"{stem}.png"))
+    with open(os.path.join(edit_dir, f"{stem}.json")) as f:
+        json_obj = json.load(f)
+    normal_path = os.path.join(edit_dir, f"{stem}-normal.png")
+    normal_img = Image.open(normal_path) if os.path.exists(normal_path) \
+        else None
+    return generate_edit_from_images(trainer, state, base_img_t,
+                                     base_label, inst_img, json_obj,
+                                     normal_img, wh, args)
 
 
 def main(argv=None):

@@ -1,0 +1,233 @@
+"""Fused single-process edit chain: semantic -> geometric -> textural.
+
+The reference runs the three branches as separate processes glued by the
+filesystem — label PNGs, instance/normal/depth PNGs and per-object JSON
+written by one stage and re-read by the next (README.md:75-114,
+geometric/scripts/main.py:530-622, textural/edit_vkitti.py:41-107).  The
+parity CLIs (`cli/semantic_test`, `cli/geometric_main`,
+`cli/edit_benchmark`) keep that contract exactly.
+
+This module is the TPU-native fused mode promised by the build plan: one
+process, every branch's jit program compiled once and cached, and the
+inter-branch artifacts passed as in-memory arrays.  Intermediates are
+quantized with the same math `save_outputs` uses for the PNG files
+(uint8 instance ids, uint8 normals), so the fused chain's output is
+byte-identical to driving the three CLIs through the filesystem — the
+file round-trip it removes is lossless.  `dump_dir` optionally writes
+the standard file contract as a side effect for downstream consumers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from types import SimpleNamespace
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from sdn3d_tpu.pipelines.semantic import EVAL_SCALES
+
+
+@dataclasses.dataclass
+class ChainConfig:
+    # semantic (cli/semantic_test defaults)
+    num_class: int = 14
+    scales: Sequence[int] = EVAL_SCALES
+    # geometric (DerenderInferConfig / cli/geometric_main defaults)
+    image_size: int = 256
+    render_size: int = 384
+    num_opts: int = 0
+    mode: str = "extend"
+    # textural (cli/edit_benchmark defaults)
+    load_size: int = 624
+    fine_width: int = 624
+    fine_height: int = 192
+    compute_dtype: str = "float32"
+
+
+class EditChain:
+    """All three branch models resident in one process.
+
+    Build once with `EditChain.build(...)`, then call `edit_frame` per
+    (source image, operations) pair.  Stage wall-clock is accumulated in
+    `self.stage_s` so benchmark drivers can report honest per-stage and
+    end-to-end rates without process boundaries in the timing.
+    """
+
+    def __init__(self, cfg: ChainConfig, semantic, derender, textural,
+                 detector=None):
+        self.cfg = cfg
+        self.semantic_model, self.semantic_vars = semantic
+        self.derender_model, self.derender_vars, self.bank = derender
+        self.textural_trainer, self.textural_state = textural
+        self.detector = detector          # (MaskRCNNDetector, variables)
+        self.stage_s = {"semantic": 0.0, "geometric": 0.0, "textural": 0.0}
+        self._label_cache: Dict[str, np.ndarray] = {}
+
+        from sdn3d_tpu.models.derenderer import TargetType
+        from sdn3d_tpu.pipelines.derender_infer import DerenderInferConfig
+        self._infer_cfg = DerenderInferConfig(
+            image_size=cfg.image_size, render_size=cfg.render_size,
+            num_opts=cfg.num_opts, mode=TargetType.BY_NAME[cfg.mode])
+        # what generate_edit_from_images reads off the args namespace
+        self._tex_args = SimpleNamespace(load_size=cfg.load_size)
+        self._wh = (cfg.fine_width, cfg.fine_height)
+
+    # -- construction -----------------------------------------------------
+
+    @classmethod
+    def build(cls, cfg: ChainConfig, shapenet_root: str,
+              semantic_ckpt: Optional[str] = None,
+              derender_ckpt: Optional[str] = None,
+              textural_ckpt: Optional[str] = None,
+              maskrcnn_ckpt: Optional[str] = None,
+              with_detector: bool = False) -> "EditChain":
+        from sdn3d_tpu.cli.edit_vkitti import load_trainer
+        from sdn3d_tpu.cli.geometric_main import load_derenderer
+        from sdn3d_tpu.cli.semantic_test import load_model
+
+        sem_args = SimpleNamespace(num_class=cfg.num_class,
+                                   compute_dtype=cfg.compute_dtype,
+                                   ckpt_dir=semantic_ckpt)
+        semantic = load_model(sem_args)
+
+        geo_args = SimpleNamespace(image_size=cfg.image_size,
+                                   compute_dtype=cfg.compute_dtype,
+                                   ckpt_dir=derender_ckpt,
+                                   shapenet_root=shapenet_root)
+        derender = load_derenderer(geo_args)
+
+        tex_args = SimpleNamespace(no_vgg=True, compute_dtype=cfg.compute_dtype,
+                                   ckpt_dir=textural_ckpt,
+                                   fine_height=cfg.fine_height,
+                                   fine_width=cfg.fine_width)
+        textural = load_trainer(tex_args)
+
+        detector = None
+        if with_detector or maskrcnn_ckpt:
+            import jax
+
+            from sdn3d_tpu.core.checkpoint import restore_checkpoint
+            from sdn3d_tpu.models.maskrcnn import MaskRCNNConfig
+            from sdn3d_tpu.pipelines.detect import MaskRCNNDetector
+            det = MaskRCNNDetector(
+                MaskRCNNConfig(compute_dtype=cfg.compute_dtype))
+            variables = det.init(jax.random.PRNGKey(0))
+            if maskrcnn_ckpt:
+                variables, _ = restore_checkpoint(maskrcnn_ckpt, variables)
+            else:
+                print("WARNING: no maskrcnn_ckpt; random detector weights")
+            detector = (det, variables)
+        return cls(cfg, semantic, derender, textural, detector)
+
+    # -- stages -----------------------------------------------------------
+
+    def labels(self, image_rgb: np.ndarray,
+               cache_key: Optional[str] = None) -> np.ndarray:
+        """Semantic stage: multi-scale argmax labels [H, W] uint8
+        (cli/semantic_test.infer_image semantics)."""
+        if cache_key is not None and cache_key in self._label_cache:
+            return self._label_cache[cache_key]
+        t0 = time.perf_counter()
+        from sdn3d_tpu.data.semantic_data import MEAN_BGR, STD_BGR
+        from sdn3d_tpu.pipelines.semantic import multiscale_labels
+        img = image_rgb.astype(np.float32)[:, :, ::-1]
+        img = (img - np.asarray(MEAN_BGR, np.float32)) / np.asarray(
+            STD_BGR, np.float32)
+        pred = multiscale_labels(self.semantic_vars, self.semantic_model,
+                                 img, scales=tuple(self.cfg.scales))
+        self.stage_s["semantic"] += time.perf_counter() - t0
+        if cache_key is not None:
+            self._label_cache[cache_key] = pred
+        return pred
+
+    def detect(self, image_rgb: np.ndarray):
+        assert self.detector is not None, \
+            "EditChain built without a detector; pass dets= to edit_frame"
+        det, variables = self.detector
+        return det.detect(variables, image_rgb)
+
+    def derender(self, image_rgb: np.ndarray, dets,
+                 operations: Optional[List[dict]] = None) -> Dict[str, object]:
+        """Geometric stage: de-render + edit ops + re-render + composite
+        (pipelines/derender_infer.derender_image)."""
+        t0 = time.perf_counter()
+        from sdn3d_tpu.pipelines.derender_infer import derender_image
+        class_ids, masks, rois = dets
+        out = derender_image(self.derender_vars, self.derender_model,
+                             self.bank, image_rgb, class_ids, masks, rois,
+                             self._infer_cfg, operations=operations)
+        self.stage_s["geometric"] += time.perf_counter() - t0
+        return out
+
+    def generate(self, image_rgb: np.ndarray, label: np.ndarray,
+                 geo_out: Dict[str, object]) -> Tuple[np.ndarray, Dict]:
+        """Textural stage: regenerate RGB from source codes + edited maps.
+
+        Quantizes the geometric maps with save_outputs' exact math before
+        handing them to the (shared) conditioning/generation code, so the
+        result is byte-identical to the file-based CLI chain.
+        """
+        t0 = time.perf_counter()
+        from PIL import Image
+
+        from sdn3d_tpu.cli.edit_vkitti import generate_edit_from_images
+        from sdn3d_tpu.data.textural_data import transform_image
+
+        args, wh = self._tex_args, self._wh
+        base_img_t = transform_image(Image.fromarray(image_rgb),
+                                     args.load_size, wh)
+        base_label = (np.asarray(transform_image(
+            Image.fromarray(label.astype(np.uint8)), args.load_size, wh,
+            nearest=True, normalize=False)) * 255.0).astype(np.int32)[..., 0]
+
+        inst_img = Image.fromarray(
+            geo_out["instance_map"].astype(np.uint8))
+        nrm = np.clip(geo_out["normal_map"].transpose(1, 2, 0) * 255,
+                      0, 255).astype(np.uint8)
+        normal_img = Image.fromarray(nrm)
+
+        fake, maps = generate_edit_from_images(
+            self.textural_trainer, self.textural_state, base_img_t,
+            base_label, inst_img, geo_out["json_obj"], normal_img, wh, args)
+        self.stage_s["textural"] += time.perf_counter() - t0
+        return fake, maps
+
+    # -- fused frame ------------------------------------------------------
+
+    def edit_frame(self, image_rgb: np.ndarray,
+                   operations: Optional[List[dict]] = None,
+                   dets=None, label: Optional[np.ndarray] = None,
+                   cache_key: Optional[str] = None) -> Dict[str, object]:
+        """One source frame through all three branches, in memory.
+
+        `dets` is (class_ids, masks, rois) (e.g. VKITTI GT); when None
+        the built-in Mask R-CNN runs.  Returns label, geometric outputs,
+        and the generated frame [3, fine_h, fine_w] in [-1, 1].
+        """
+        if label is None:
+            label = self.labels(image_rgb, cache_key=cache_key)
+        if dets is None:
+            dets = self.detect(image_rgb)
+        geo = self.derender(image_rgb, dets, operations)
+        fake, maps = self.generate(image_rgb, label, geo)
+        return {"label": label, "geo": geo, "fake": fake, "maps": maps}
+
+    def dump(self, label: np.ndarray, geo: Dict[str, object],
+             segm_dir: str, geo_dir: str, source_name: str,
+             target_name: str) -> None:
+        """Write the standard inter-branch file contract as a side
+        effect (identical bytes to the per-stage CLIs): the label PNG is
+        keyed by the SOURCE frame, the geometric outputs by the TARGET
+        name, exactly as `cli/semantic_test` / `cli/geometric_main`
+        lay them out for `cli/edit_benchmark`."""
+        import os
+
+        from PIL import Image
+
+        from sdn3d_tpu.cli.geometric_main import save_outputs
+        os.makedirs(segm_dir, exist_ok=True)
+        Image.fromarray(label.astype(np.uint8)).save(
+            os.path.join(segm_dir, f"{source_name}.png"))
+        save_outputs(geo, geo_dir, target_name)

@@ -1,0 +1,145 @@
+"""Fused single-process chain (pipelines/chain.py) parity tests.
+
+The fused mode must be byte-identical to driving the three per-stage
+CLIs through the filesystem contract (the PNG round-trip it removes is
+lossless) — asserted end-to-end on a real on-disk VKITTI fixture with
+identical (seed-0 random) weights in both paths.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+SHAPENET = "/root/reference/geometric/assets"
+
+ITEMS = [
+    {"world": "0006", "topic": "fog", "source": "00055",
+     "target": "00050",
+     "operations": [
+         {"type": "modify", "from": {"u": "750.9", "v": "213.9"},
+          "to": {"u": "804.4", "v": "227.1",
+                 "roi": [194, 756, 269, 865]},
+          "zoom": "1.338", "ry": "0.007"},
+         {"type": "delete", "from": {"u": "300.0", "v": "200.0"},
+          "to": None, "zoom": None, "ry": None}]},
+    {"world": "0006", "topic": "fog", "source": "00055",
+     "target": "00055", "operations": []},
+]
+
+# small-shape knobs shared by both paths (CPU-affordable)
+SCALES = ["100"]
+GEO = {"image_size": "64", "render_size": "64"}
+TEX = {"load_size": "160", "fine_width": "160", "fine_height": "96"}
+
+
+@pytest.fixture(scope="module")
+def chain_env(tmp_path_factory):
+    from make_vkitti_fixture import build_fixture
+
+    work = tmp_path_factory.mktemp("chain")
+    root = str(work / "vkitti")
+    edit_json = str(work / "edit.json")
+    with open(edit_json, "w") as f:
+        json.dump(ITEMS, f)
+    build_fixture(root, edit_json)
+    return work, root, edit_json
+
+
+def test_chain_config_matches_cli_defaults():
+    from sdn3d_tpu.cli.edit_benchmark import build_argparser as tex_ap
+    from sdn3d_tpu.cli.geometric_main import build_argparser as geo_ap
+    from sdn3d_tpu.cli.semantic_test import build_argparser as sem_ap
+    from sdn3d_tpu.pipelines.chain import ChainConfig
+
+    cfg = ChainConfig()
+    geo = geo_ap().parse_args(["--edit_json", "x"])
+    sem = sem_ap().parse_args(["--test_img", "x"])
+    tex = tex_ap().parse_args(["--edit_json", "x", "--segm_dir", "x",
+                               "--geo_dir", "x"])
+    assert cfg.image_size == geo.image_size
+    assert cfg.render_size == geo.render_size
+    assert cfg.num_opts == geo.num_opts
+    assert cfg.mode == geo.mode
+    assert cfg.num_class == sem.num_class
+    assert tuple(cfg.scales) == tuple(sem.scales)
+    assert cfg.load_size == tex.load_size
+    assert cfg.fine_width == tex.fine_width
+    assert cfg.fine_height == tex.fine_height
+
+
+@pytest.mark.slow
+def test_fused_chain_matches_file_chain(chain_env):
+    """EditChain == semantic_test -> geometric_main -> edit_benchmark."""
+    from sdn3d_tpu.cli import edit_benchmark, geometric_main, semantic_test
+    from sdn3d_tpu.cli.edit_chain import main as chain_main
+
+    work, root, edit_json = chain_env
+    segm_dir = str(work / "segm")
+    geo_dir = str(work / "geo")
+    tex_dir = str(work / "tex")
+    fused_dir = str(work / "fused")
+    dump_dir = str(work / "dump")
+
+    # file-based 3-stage chain (benchmark protocol, scripts/benchmark_dryrun)
+    semantic_test.main([
+        "--test_img", "benchmark", "--edit_json", edit_json,
+        "--data_root", root, "--result", segm_dir,
+        "--scales", *SCALES])
+    geo_json = str(work / "edits.json")
+    with open(geo_json, "w") as f:
+        json.dump(ITEMS[:1], f)
+    geometric_main.main([
+        "--do", "test", "--mode", "extend", "--source", "gt",
+        "--vkitti_root", root, "--edit_json", geo_json,
+        "--output_dir", geo_dir, "--shapenet_root", SHAPENET,
+        "--image_size", GEO["image_size"],
+        "--render_size", GEO["render_size"]])
+    edit_benchmark.main([
+        "--edit_json", edit_json, "--data_root", root,
+        "--segm_dir", segm_dir, "--geo_dir", geo_dir,
+        "--results_dir", tex_dir,
+        "--load_size", TEX["load_size"],
+        "--fine_width", TEX["fine_width"],
+        "--fine_height", TEX["fine_height"]])
+
+    # fused single-process chain, same shapes + same seed-0 weights
+    chain_main([
+        "--edit_json", edit_json, "--data_root", root,
+        "--shapenet_root", SHAPENET, "--source", "gt",
+        "--results_dir", fused_dir, "--dump_dirs", dump_dir,
+        "--scales", *SCALES,
+        "--image_size", GEO["image_size"],
+        "--render_size", GEO["render_size"],
+        "--load_size", TEX["load_size"],
+        "--fine_width", TEX["fine_width"],
+        "--fine_height", TEX["fine_height"]])
+
+    with open(os.path.join(tex_dir, "benchmark.json")) as f:
+        file_res = json.load(f)
+    with open(os.path.join(fused_dir, "benchmark.json")) as f:
+        fused_res = json.load(f)
+    assert fused_res["pairs"] == file_res["pairs"] == 1
+    # identical weights + identical (lossless) intermediates -> identical
+    # metrics
+    np.testing.assert_allclose(fused_res["mean_L1"], file_res["mean_L1"],
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(fused_res["mean_LPIPS"],
+                               file_res["mean_LPIPS"], rtol=0, atol=1e-6)
+
+    # the dumped file contract is byte-identical to the per-stage CLIs'
+    name = "0006_fog_00055_00050"    # EditItem.target_name
+    src_name = "0006_fog_00055"      # EditItem.source_name
+    for fn, d in [(f"{src_name}.png", segm_dir)]:
+        a = open(os.path.join(d, fn), "rb").read()
+        b = open(os.path.join(dump_dir, "segm", fn), "rb").read()
+        assert a == b, fn
+    for suffix in [".png", "-normal.png", "-depth.png", ".json"]:
+        a = open(os.path.join(geo_dir, f"{name}{suffix}"), "rb").read()
+        b = open(os.path.join(dump_dir, "geo", f"{name}{suffix}"),
+                 "rb").read()
+        assert a == b, suffix
