@@ -106,7 +106,7 @@ def save_outputs(out: dict, output_dir: str, name: str) -> None:
                   255).astype(np.uint8)
     Image.fromarray(nrm).save(os.path.join(output_dir, f"{name}-normal.png"))
     dep = (np.clip(out["depth_map"], 0, 1) * 65535).astype(np.uint16)
-    Image.fromarray(dep, mode="I;16").save(
+    Image.fromarray(dep).save(          # uint16 -> I;16 (PIL infers)
         os.path.join(output_dir, f"{name}-depth.png"))
     with open(os.path.join(output_dir, f"{name}.json"), "w") as f:
         json.dump(out["json_obj"], f, indent=4)
