@@ -18,6 +18,8 @@ a V100-class GPU; rounded up to 10 obj/s to be conservative.
 """
 
 import json
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -25,7 +27,32 @@ import numpy as np
 REFERENCE_OBJECTS_PER_SEC = 10.0
 
 
+def _probe_device(timeout_s: float = 180.0) -> bool:
+    """The axon TPU relay can hang indefinitely inside device init
+    (observed 2026-08-17); probe it in a bounded subprocess so a dead
+    relay yields an honest error line instead of a wedged bench run."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _probe_device():
+        print(json.dumps({
+            "metric": "batched multi-object 2.5D render throughput "
+                      "(sil+normal+depth, 256^2 AA)",
+            "value": 0,
+            "unit": "objects/s",
+            "vs_baseline": 0,
+            "error": "TPU device init unreachable (probe hung >180s); "
+                     "no measurement taken",
+        }))
+        sys.exit(1)
+
     import jax
     import jax.numpy as jnp
 

@@ -49,6 +49,10 @@ def main():
                                                   "benchmark_dryrun.json"))
     ap.add_argument("--compute_dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--fused", action="store_true",
+                    help="also run the fused single-process chain "
+                         "(cli/edit_chain) over the same fixture and "
+                         "record its numbers as result_fused")
     args = ap.parse_args()
 
     work = args.work
@@ -118,6 +122,19 @@ def main():
                  "fixture frames; locks the 3-stage harness + honest "
                  "end-to-end wall-clock, NOT image quality"),
     }
+
+    if args.fused:
+        fused_dir = os.path.join(work, "fused")
+        times["fused_chain_s"] = run([
+            py, "-m", "sdn3d_tpu.cli.edit_chain",
+            "--edit_json", full_json, "--data_root", fixture,
+            "--shapenet_root", "/root/reference/geometric/assets",
+            "--source", "gt", "--results_dir", fused_dir,
+            "--compute_dtype", args.compute_dtype])
+        with open(os.path.join(fused_dir, "benchmark.json")) as f:
+            out["result_fused"] = json.load(f)
+        out["stage_wall_s"]["fused_chain_s"] = round(
+            times["fused_chain_s"], 2)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))
