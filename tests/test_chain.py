@@ -50,6 +50,7 @@ def chain_env(tmp_path_factory):
     return work, root, edit_json
 
 
+@pytest.mark.quick
 def test_chain_config_matches_cli_defaults():
     from sdn3d_tpu.cli.edit_benchmark import build_argparser as tex_ap
     from sdn3d_tpu.cli.geometric_main import build_argparser as geo_ap
