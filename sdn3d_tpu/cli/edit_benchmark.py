@@ -54,22 +54,33 @@ def main(argv=None):
     items = benchmark_split(load_edit_json(args.edit_json))
     gallery = HTMLGallery(args.results_dir, "92-pair edit benchmark")
 
+    import jax.numpy as jnp
+
     l1s = []
     lpipss = []
     pair_times = []
+    src_cache = {}   # per-source transforms + feature encode (pure
+                     # recompute elision across pairs sharing a source)
     t0 = time.perf_counter()
     for item in items:
         tp = time.perf_counter()
-        src = os.path.join(args.data_root, "vkitti_1.3.1_rgb", item.world,
-                           item.topic, f"{item.source}.png")
         tgt = os.path.join(args.data_root, "vkitti_1.3.1_rgb", item.world,
                            item.topic, f"{item.target}.png")
-        segm = os.path.join(args.segm_dir, f"{item.source_name}.png")
-        base_img_t = transform_image(Image.open(src).convert("RGB"),
-                                     args.load_size, wh)
-        base_label = (np.asarray(transform_image(
-            Image.open(segm), args.load_size, wh, nearest=True,
-            normalize=False)) * 255.0).astype(np.int32)[..., 0]
+        if item.source_name in src_cache:
+            base_img_t, base_label, feats = src_cache[item.source_name]
+        else:
+            src = os.path.join(args.data_root, "vkitti_1.3.1_rgb",
+                               item.world, item.topic,
+                               f"{item.source}.png")
+            segm = os.path.join(args.segm_dir, f"{item.source_name}.png")
+            base_img_t = transform_image(Image.open(src).convert("RGB"),
+                                         args.load_size, wh)
+            base_label = (np.asarray(transform_image(
+                Image.open(segm), args.load_size, wh, nearest=True,
+                normalize=False)) * 255.0).astype(np.int32)[..., 0]
+            feats = np.asarray(trainer.encode_features_jit(
+                state.params_e, jnp.asarray(base_img_t[None])))[0]
+            src_cache[item.source_name] = (base_img_t, base_label, feats)
         target_t = transform_image(Image.open(tgt).convert("RGB"),
                                    args.load_size, wh)
 
@@ -77,7 +88,7 @@ def main(argv=None):
         # geometric_main's edit_json mode writes)
         fake, maps = generate_edit_frame(
             trainer, state, base_img_t, base_label, args.geo_dir,
-            item.target_name, wh, args)
+            item.target_name, wh, args, feats=feats)
 
         l1 = float(np.abs(fake - target_t).mean())
         l1s.append(l1)

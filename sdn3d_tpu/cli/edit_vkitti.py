@@ -54,13 +54,17 @@ def load_trainer(args):
 
 
 def generate_edit_from_images(trainer, state, base_img_t, base_label,
-                              inst_img, json_obj, normal_img, wh, args):
+                              inst_img, json_obj, normal_img, wh, args,
+                              feats=None):
     """Core of the textural edit step from in-memory PIL images.
 
     Entry point of the fused single-process chain
     (pipelines/chain.py): byte-identical to the file-based path, since
     the PNG round-trip it skips is lossless.  `inst_img` is the full-res
-    instance map (L mode), `normal_img` an RGB image or None."""
+    instance map (L mode), `normal_img` an RGB image or None.  `feats`
+    optionally carries the source image's pre-encoded feature map
+    [H, W, feat] so callers can cache it across pairs sharing a source
+    (pure recompute elision; identical values)."""
     import jax.numpy as jnp
 
     from sdn3d_tpu.data.textural_data import (
@@ -83,8 +87,9 @@ def generate_edit_from_images(trainer, state, base_img_t, base_label,
     # source texture codes, splatted by target instance ids
     cfg = trainer.cfg
     slots, mapping = dense_instance_slots(maps["inst"], cfg.max_instances)
-    feats = np.asarray(trainer.encode_features_jit(
-        state.params_e, jnp.asarray(base_img_t[None])))[0]   # [H, W, feat]
+    if feats is None:
+        feats = np.asarray(trainer.encode_features_jit(
+            state.params_e, jnp.asarray(base_img_t[None])))[0]  # [H, W, feat]
     # codes from the SOURCE instance layout:
     src_slots, src_mapping = dense_instance_slots(
         np.asarray(base_label), cfg.max_instances)
@@ -119,7 +124,7 @@ def generate_edit_from_images(trainer, state, base_img_t, base_label,
 
 
 def generate_edit_frame(trainer, state, base_img_t, base_label,
-                        edit_dir, index, wh, args):
+                        edit_dir, index, wh, args, feats=None):
     """Assemble one edit frame's conditioning + generate
     (edit_vkitti.py:63-107).  `index` is the geometric output stem: an int
     (zero-padded, the example-edit layout) or a string (benchmark
@@ -135,7 +140,7 @@ def generate_edit_frame(trainer, state, base_img_t, base_label,
         else None
     return generate_edit_from_images(trainer, state, base_img_t,
                                      base_label, inst_img, json_obj,
-                                     normal_img, wh, args)
+                                     normal_img, wh, args, feats=feats)
 
 
 def main(argv=None):

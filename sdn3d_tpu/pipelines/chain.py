@@ -64,6 +64,11 @@ class EditChain:
         self.detector = detector          # (MaskRCNNDetector, variables)
         self.stage_s = {"semantic": 0.0, "geometric": 0.0, "textural": 0.0}
         self._label_cache: Dict[str, np.ndarray] = {}
+        # per-source textural inputs (transformed image, transformed
+        # label, encoded feature map) — pure recompute elision for pairs
+        # sharing a source frame
+        self._src_cache: Dict[str, Tuple[np.ndarray, np.ndarray,
+                                         np.ndarray]] = {}
 
         from sdn3d_tpu.models.derenderer import TargetType
         from sdn3d_tpu.pipelines.derender_infer import DerenderInferConfig
@@ -162,25 +167,39 @@ class EditChain:
         return out
 
     def generate(self, image_rgb: np.ndarray, label: np.ndarray,
-                 geo_out: Dict[str, object]) -> Tuple[np.ndarray, Dict]:
+                 geo_out: Dict[str, object],
+                 cache_key: Optional[str] = None) -> Tuple[np.ndarray, Dict]:
         """Textural stage: regenerate RGB from source codes + edited maps.
 
         Quantizes the geometric maps with save_outputs' exact math before
         handing them to the (shared) conditioning/generation code, so the
-        result is byte-identical to the file-based CLI chain.
+        result is byte-identical to the file-based CLI chain.  With
+        `cache_key`, the source-side inputs (transforms + feature encode)
+        are cached across pairs sharing the source frame.
         """
         t0 = time.perf_counter()
+        import jax.numpy as jnp
         from PIL import Image
 
         from sdn3d_tpu.cli.edit_vkitti import generate_edit_from_images
         from sdn3d_tpu.data.textural_data import transform_image
 
         args, wh = self._tex_args, self._wh
-        base_img_t = transform_image(Image.fromarray(image_rgb),
-                                     args.load_size, wh)
-        base_label = (np.asarray(transform_image(
-            Image.fromarray(label.astype(np.uint8)), args.load_size, wh,
-            nearest=True, normalize=False)) * 255.0).astype(np.int32)[..., 0]
+        if cache_key is not None and cache_key in self._src_cache:
+            base_img_t, base_label, feats = self._src_cache[cache_key]
+        else:
+            base_img_t = transform_image(Image.fromarray(image_rgb),
+                                         args.load_size, wh)
+            base_label = (np.asarray(transform_image(
+                Image.fromarray(label.astype(np.uint8)), args.load_size,
+                wh, nearest=True,
+                normalize=False)) * 255.0).astype(np.int32)[..., 0]
+            feats = np.asarray(self.textural_trainer.encode_features_jit(
+                self.textural_state.params_e,
+                jnp.asarray(base_img_t[None])))[0]
+            if cache_key is not None:
+                self._src_cache[cache_key] = (base_img_t, base_label,
+                                              feats)
 
         inst_img = Image.fromarray(
             geo_out["instance_map"].astype(np.uint8))
@@ -190,7 +209,8 @@ class EditChain:
 
         fake, maps = generate_edit_from_images(
             self.textural_trainer, self.textural_state, base_img_t,
-            base_label, inst_img, geo_out["json_obj"], normal_img, wh, args)
+            base_label, inst_img, geo_out["json_obj"], normal_img, wh,
+            args, feats=feats)
         self.stage_s["textural"] += time.perf_counter() - t0
         return fake, maps
 
@@ -211,7 +231,8 @@ class EditChain:
         if dets is None:
             dets = self.detect(image_rgb)
         geo = self.derender(image_rgb, dets, operations)
-        fake, maps = self.generate(image_rgb, label, geo)
+        fake, maps = self.generate(image_rgb, label, geo,
+                                   cache_key=cache_key)
         return {"label": label, "geo": geo, "fake": fake, "maps": maps}
 
     def dump(self, label: np.ndarray, geo: Dict[str, object],

@@ -17,6 +17,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
 
 SHAPENET = "/root/reference/geometric/assets"
 
+# two edit pairs SHARING a source frame (covers the per-source
+# transform/feature cache-hit path in both chain modes) + their
+# reconstruction twins (second half of the benchmark JSON structure)
 ITEMS = [
     {"world": "0006", "topic": "fog", "source": "00055",
      "target": "00050",
@@ -28,7 +31,16 @@ ITEMS = [
          {"type": "delete", "from": {"u": "300.0", "v": "200.0"},
           "to": None, "zoom": None, "ry": None}]},
     {"world": "0006", "topic": "fog", "source": "00055",
+     "target": "00060",
+     "operations": [
+         {"type": "modify", "from": {"u": "750.9", "v": "213.9"},
+          "to": {"u": "650.0", "v": "210.0",
+                 "roi": [190, 600, 260, 700]},
+          "zoom": "0.9", "ry": "0.4"}]},
+    {"world": "0006", "topic": "fog", "source": "00055",
      "target": "00055", "operations": []},
+    {"world": "0006", "topic": "fog", "source": "00060",
+     "target": "00060", "operations": []},
 ]
 
 # small-shape knobs shared by both paths (CPU-affordable)
@@ -93,7 +105,7 @@ def test_fused_chain_matches_file_chain(chain_env):
         "--scales", *SCALES])
     geo_json = str(work / "edits.json")
     with open(geo_json, "w") as f:
-        json.dump(ITEMS[:1], f)
+        json.dump(ITEMS[:2], f)
     geometric_main.main([
         "--do", "test", "--mode", "extend", "--source", "gt",
         "--vkitti_root", root, "--edit_json", geo_json,
@@ -124,7 +136,7 @@ def test_fused_chain_matches_file_chain(chain_env):
         file_res = json.load(f)
     with open(os.path.join(fused_dir, "benchmark.json")) as f:
         fused_res = json.load(f)
-    assert fused_res["pairs"] == file_res["pairs"] == 1
+    assert fused_res["pairs"] == file_res["pairs"] == 2
     # identical weights + identical (lossless) intermediates -> identical
     # metrics
     np.testing.assert_allclose(fused_res["mean_L1"], file_res["mean_L1"],
