@@ -69,6 +69,8 @@ class EditChain:
         # sharing a source frame
         self._src_cache: Dict[str, Tuple[np.ndarray, np.ndarray,
                                          np.ndarray]] = {}
+        # per-source de-render encode (objs, blob) — edit-independent
+        self._encode_cache: Dict[str, tuple] = {}
 
         from sdn3d_tpu.models.derenderer import TargetType
         from sdn3d_tpu.pipelines.derender_infer import DerenderInferConfig
@@ -154,15 +156,33 @@ class EditChain:
         return det.detect(variables, image_rgb)
 
     def derender(self, image_rgb: np.ndarray, dets,
-                 operations: Optional[List[dict]] = None) -> Dict[str, object]:
+                 operations: Optional[List[dict]] = None,
+                 cache_key: Optional[str] = None) -> Dict[str, object]:
         """Geometric stage: de-render + edit ops + re-render + composite
-        (pipelines/derender_infer.derender_image)."""
+        (pipelines/derender_infer.derender_image).
+
+        With `cache_key`, the edit-independent de-render phase (object
+        prep + encoder + refinement) is cached per source frame; only
+        the ops + re-render replay per pair.
+        """
         t0 = time.perf_counter()
-        from sdn3d_tpu.pipelines.derender_infer import derender_image
+        from sdn3d_tpu.pipelines.derender_infer import (derender_encode,
+                                                        derender_image)
         class_ids, masks, rois = dets
+        encoded = None
+        if cache_key is not None:
+            encoded = self._encode_cache.get(cache_key)
+        if encoded is None:
+            encoded = derender_encode(self.derender_vars,
+                                      self.derender_model, self.bank,
+                                      image_rgb, class_ids, masks, rois,
+                                      self._infer_cfg)
+            if cache_key is not None:
+                self._encode_cache[cache_key] = encoded
         out = derender_image(self.derender_vars, self.derender_model,
                              self.bank, image_rgb, class_ids, masks, rois,
-                             self._infer_cfg, operations=operations)
+                             self._infer_cfg, operations=operations,
+                             encoded=encoded)
         self.stage_s["geometric"] += time.perf_counter() - t0
         return out
 
@@ -230,7 +250,8 @@ class EditChain:
             label = self.labels(image_rgb, cache_key=cache_key)
         if dets is None:
             dets = self.detect(image_rgb)
-        geo = self.derender(image_rgb, dets, operations)
+        geo = self.derender(image_rgb, dets, operations,
+                            cache_key=cache_key)
         fake, maps = self.generate(image_rgb, label, geo,
                                    cache_key=cache_key)
         return {"label": label, "geo": geo, "fake": fake, "maps": maps}

@@ -200,7 +200,7 @@ def refine_silhouettes(blob: Dict[str, jnp.ndarray], bank: DeviceMeshBank,
     return out
 
 
-def derender_image(
+def derender_encode(
     variables,
     model: Derenderer,
     bank: DeviceMeshBank,
@@ -209,20 +209,17 @@ def derender_image(
     image_masks: np.ndarray,
     rois: np.ndarray,
     cfg: Optional[DerenderInferConfig] = None,
-    operations: Optional[List[dict]] = None,
     image_ignores: Optional[np.ndarray] = None,
     all_interested: bool = False,
-    metas: Optional[List[dict]] = None,
-) -> Dict[str, object]:
-    """Full single-image geometric inference (main.py:325-622).
+) -> Tuple[Dict[str, np.ndarray], Dict[str, object]]:
+    """Phase 1 of derender_image: object prep + encoder + optional
+    silhouette refinement (main.py:344-459).
 
-    Returns dict with: instance_map [H, W] int32, normal_map [3, H, W],
-    depth_map [H, W] in [0,1], json_obj (per-object class/depth/alpha),
-    state (3D pkl equivalent), interests.
+    Independent of edit operations, and nothing downstream mutates the
+    result — fused-chain callers cache it per source frame and replay
+    different edits against it.
     """
     cfg = cfg or DerenderInferConfig()
-    H, W = image_rgb.shape[:2]
-
     objs = prepare_objects(image_rgb, rois, image_masks, class_ids, cfg,
                            all_interested)
     blob = encode_objects(variables, model, objs, cfg)
@@ -241,6 +238,40 @@ def derender_image(
                                        cfg.render_size)
         blob = refine_silhouettes(blob, bank, jnp.asarray(objs["masks"]),
                                   jnp.asarray(ign[:, None]), cfg)
+    return objs, blob
+
+
+def derender_image(
+    variables,
+    model: Derenderer,
+    bank: DeviceMeshBank,
+    image_rgb: np.ndarray,
+    class_ids: np.ndarray,
+    image_masks: np.ndarray,
+    rois: np.ndarray,
+    cfg: Optional[DerenderInferConfig] = None,
+    operations: Optional[List[dict]] = None,
+    image_ignores: Optional[np.ndarray] = None,
+    all_interested: bool = False,
+    metas: Optional[List[dict]] = None,
+    encoded: Optional[Tuple[Dict[str, np.ndarray],
+                            Dict[str, object]]] = None,
+) -> Dict[str, object]:
+    """Full single-image geometric inference (main.py:325-622).
+
+    Returns dict with: instance_map [H, W] int32, normal_map [3, H, W],
+    depth_map [H, W] in [0,1], json_obj (per-object class/depth/alpha),
+    state (3D pkl equivalent), interests.  `encoded` optionally carries a
+    cached derender_encode result for this frame.
+    """
+    cfg = cfg or DerenderInferConfig()
+    H, W = image_rgb.shape[:2]
+
+    if encoded is None:
+        encoded = derender_encode(variables, model, bank, image_rgb,
+                                  class_ids, image_masks, rois, cfg,
+                                  image_ignores, all_interested)
+    objs, blob = encoded
 
     interests = objs["interests"].copy()
     interests = interests * objs["valid"]
