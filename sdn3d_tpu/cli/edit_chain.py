@@ -94,7 +94,7 @@ def main(argv=None):
             frame)).convert("RGB"))
         dets = None
         if table_inst is not None:
-            dets = _keep_largest(chain._infer_cfg, *VK.gt_objects(
+            dets = _keep_largest(chain.infer_cfg, *VK.gt_objects(
                 args.data_root, item.world, item.topic, frame, table_inst))
         out = chain.edit_frame(image, operations=item.operations,
                                dets=dets, cache_key=item.source_name)

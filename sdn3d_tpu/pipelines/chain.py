@@ -74,7 +74,7 @@ class EditChain:
 
         from sdn3d_tpu.models.derenderer import TargetType
         from sdn3d_tpu.pipelines.derender_infer import DerenderInferConfig
-        self._infer_cfg = DerenderInferConfig(
+        self.infer_cfg = DerenderInferConfig(
             image_size=cfg.image_size, render_size=cfg.render_size,
             num_opts=cfg.num_opts, mode=TargetType.BY_NAME[cfg.mode])
         # what generate_edit_from_images reads off the args namespace
@@ -176,12 +176,12 @@ class EditChain:
             encoded = derender_encode(self.derender_vars,
                                       self.derender_model, self.bank,
                                       image_rgb, class_ids, masks, rois,
-                                      self._infer_cfg)
+                                      self.infer_cfg)
             if cache_key is not None:
                 self._encode_cache[cache_key] = encoded
         out = derender_image(self.derender_vars, self.derender_model,
                              self.bank, image_rgb, class_ids, masks, rois,
-                             self._infer_cfg, operations=operations,
+                             self.infer_cfg, operations=operations,
                              encoded=encoded)
         self.stage_s["geometric"] += time.perf_counter() - t0
         return out
