@@ -30,7 +30,8 @@ EDIT_JSON = "/root/reference/assets/vkitti_edit_benchmark.json"
 
 
 def run(cmd, env=None):
-    print("+", " ".join(cmd), flush=True)
+    print("+", " ".join(cmd[:6]) + (" ..." if len(cmd) > 6 else ""),
+          flush=True)
     e = dict(os.environ)
     e["PYTHONPATH"] = REPO + os.pathsep + e.get("PYTHONPATH", "")
     if env:
@@ -38,6 +39,20 @@ def run(cmd, env=None):
     t0 = time.perf_counter()
     subprocess.run(cmd, check=True, env=e, cwd=REPO)
     return time.perf_counter() - t0
+
+
+def module_cmd(py, module, mod_args, platform):
+    """Build a stage invocation.  platform='cpu' forces the CPU backend
+    via jax.config BEFORE backend init (the preregistered TPU plugin
+    wins over the JAX_PLATFORMS env var on this machine) — lets the full
+    protocol run when the TPU relay is down, at CPU speed."""
+    if platform == "cpu":
+        boot = ("import sys, runpy, jax; "
+                "jax.config.update('jax_platforms', 'cpu'); "
+                f"sys.argv[0] = {module!r}; "
+                f"runpy.run_module({module!r}, run_name='__main__')")
+        return [py, "-c", boot] + mod_args
+    return [py, "-m", module] + mod_args
 
 
 def main():
@@ -49,6 +64,10 @@ def main():
                                                   "benchmark_dryrun.json"))
     ap.add_argument("--compute_dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--platform", default="default",
+                    choices=["default", "cpu"],
+                    help="cpu = force the CPU backend in every stage "
+                         "(TPU relay down / reproducibility runs)")
     ap.add_argument("--fused", action="store_true",
                     help="also run the fused single-process chain "
                          "(cli/edit_chain) over the same fixture and "
@@ -86,30 +105,31 @@ def main():
         py, os.path.join(REPO, "scripts/make_vkitti_fixture.py"),
         fixture, full_json])
 
-    times["semantic_s"] = run([
-        py, "-m", "sdn3d_tpu.cli.semantic_test",
-        "--test_img", "benchmark", "--edit_json", full_json,
-        "--data_root", fixture, "--result", segm_dir,
-        "--compute_dtype", args.compute_dtype])
+    times["semantic_s"] = run(module_cmd(
+        py, "sdn3d_tpu.cli.semantic_test", [
+            "--test_img", "benchmark", "--edit_json", full_json,
+            "--data_root", fixture, "--result", segm_dir,
+            "--compute_dtype", args.compute_dtype], args.platform))
 
-    times["geometric_s"] = run([
-        py, "-m", "sdn3d_tpu.cli.geometric_main",
-        "--do", "test", "--mode", "extend", "--source", "gt",
-        "--vkitti_root", fixture, "--edit_json", geo_json,
-        "--output_dir", geo_dir,
-        "--shapenet_root", "/root/reference/geometric/assets",
-        "--compute_dtype", args.compute_dtype])
+    times["geometric_s"] = run(module_cmd(
+        py, "sdn3d_tpu.cli.geometric_main", [
+            "--do", "test", "--mode", "extend", "--source", "gt",
+            "--vkitti_root", fixture, "--edit_json", geo_json,
+            "--output_dir", geo_dir,
+            "--shapenet_root", "/root/reference/geometric/assets",
+            "--compute_dtype", args.compute_dtype], args.platform))
 
     chain_file = os.path.join(work, "chain_times.json")
     with open(chain_file, "w") as f:
         json.dump({"semantic_s": times["semantic_s"],
                    "geometric_s": times["geometric_s"]}, f)
 
-    times["textural_s"] = run([
-        py, "-m", "sdn3d_tpu.cli.edit_benchmark",
-        "--edit_json", full_json, "--data_root", fixture,
-        "--segm_dir", segm_dir, "--geo_dir", geo_dir,
-        "--results_dir", tex_dir, "--chain_times", chain_file])
+    times["textural_s"] = run(module_cmd(
+        py, "sdn3d_tpu.cli.edit_benchmark", [
+            "--edit_json", full_json, "--data_root", fixture,
+            "--segm_dir", segm_dir, "--geo_dir", geo_dir,
+            "--results_dir", tex_dir, "--chain_times", chain_file],
+        args.platform))
 
     with open(os.path.join(tex_dir, "benchmark.json")) as f:
         bench = json.load(f)
@@ -125,12 +145,12 @@ def main():
 
     if args.fused:
         fused_dir = os.path.join(work, "fused")
-        times["fused_chain_s"] = run([
-            py, "-m", "sdn3d_tpu.cli.edit_chain",
-            "--edit_json", full_json, "--data_root", fixture,
-            "--shapenet_root", "/root/reference/geometric/assets",
-            "--source", "gt", "--results_dir", fused_dir,
-            "--compute_dtype", args.compute_dtype])
+        times["fused_chain_s"] = run(module_cmd(
+            py, "sdn3d_tpu.cli.edit_chain", [
+                "--edit_json", full_json, "--data_root", fixture,
+                "--shapenet_root", "/root/reference/geometric/assets",
+                "--source", "gt", "--results_dir", fused_dir,
+                "--compute_dtype", args.compute_dtype], args.platform))
         with open(os.path.join(fused_dir, "benchmark.json")) as f:
             out["result_fused"] = json.load(f)
         out["stage_wall_s"]["fused_chain_s"] = round(
