@@ -34,6 +34,10 @@ def build_argparser():
                         '{"semantic_s": S, "geometric_s": S} so the '
                         "headline edits/sec covers the WHOLE 3-stage "
                         "protocol, not just textural regeneration")
+    p.add_argument("--lpips_ckpt", default=None,
+                   help="ported LPIPS checkpoint (.pth, official lpips "
+                        "package layout); without it the LPIPS column "
+                        "uses a random-init backbone (uncalibrated)")
     return p
 
 
@@ -56,12 +60,14 @@ def main(argv=None):
 
     import jax.numpy as jnp
 
+    lpips_vars = (metrics.load_lpips(args.lpips_ckpt)
+                  if args.lpips_ckpt else None)
     l1s = []
     lpipss = []
     pair_times = []
     src_cache = {}   # per-source transforms + feature encode (pure
                      # recompute elision across pairs sharing a source)
-    t0 = time.perf_counter()
+    scoring_s = 0.0  # metric/gallery cost — NOT part of the edit
     for item in items:
         tp = time.perf_counter()
         tgt = os.path.join(args.data_root, "vkitti_1.3.1_rgb", item.world,
@@ -89,23 +95,29 @@ def main(argv=None):
         fake, maps = generate_edit_frame(
             trainer, state, base_img_t, base_label, args.geo_dir,
             item.target_name, wh, args, feats=feats)
+        pair_times.append(time.perf_counter() - tp)
 
+        ts = time.perf_counter()
         l1 = float(np.abs(fake - target_t).mean())
         l1s.append(l1)
-        lp = metrics.lpips(tensor2im(fake), tensor2im(target_t))
+        lp = metrics.lpips(tensor2im(fake), tensor2im(target_t),
+                           variables=lpips_vars)
         lpipss.append(lp)
         gallery.add_images({"generated": tensor2im(fake),
                             "target": tensor2im(target_t)},
                            item.target_name)
+        scoring_s += time.perf_counter() - ts
         print(f"{item.target_name}: L1={l1:.4f} LPIPS={lp:.4f}")
-        pair_times.append(time.perf_counter() - tp)
-    dt = time.perf_counter() - t0
+    dt = float(np.sum(pair_times))   # edit work only; scoring excluded
 
     result = {
         "mean_L1": float(np.mean(l1s)),
         "mean_LPIPS": float(np.mean(lpipss)),
+        "lpips_backbone": "ported" if lpips_vars is not None
+                          else "random-init (uncalibrated)",
         "pairs": len(l1s),
         "textural_s": dt,
+        "scoring_s": round(scoring_s, 3),
         "textural_edits_per_sec": len(l1s) / dt,
     }
     if len(pair_times) > 1:
@@ -116,8 +128,12 @@ def main(argv=None):
     if args.chain_times:
         with open(args.chain_times) as f:
             upstream = json.load(f)
+        # only the two upstream stage timings — anything else in the
+        # file (e.g. a previous benchmark.json) would double-count
+        upstream = {k: upstream[k] for k in ("semantic_s", "geometric_s")
+                    if k in upstream}
         result.update(upstream)
-        total = dt + sum(v for k, v in upstream.items() if k.endswith("_s"))
+        total = dt + sum(upstream.values())
         result["chain_s"] = total
         # the honest headline: all three stages per edit
         result["edits_per_sec"] = len(l1s) / total

@@ -95,16 +95,29 @@ def detect_objects(args, image_rgb: np.ndarray):
     return det.detect(variables, image_rgb)
 
 
+def quantize_instance_map(inst: np.ndarray) -> np.ndarray:
+    """[H, W] object indices -> the uint8 written to `{name}.png`."""
+    return inst.astype(np.uint8)
+
+
+def quantize_normal_map(nrm: np.ndarray) -> np.ndarray:
+    """[3, H, W] float normals -> the uint8 RGB written to
+    `{name}-normal.png`.  The ONE copy of the file contract's
+    quantization: the fused chain (pipelines/chain.py) feeds these same
+    bytes to the textural stage in memory, which is what makes fused ==
+    file-based byte-identical."""
+    return np.clip(nrm.transpose(1, 2, 0) * 255, 0, 255).astype(np.uint8)
+
+
 def save_outputs(out: dict, output_dir: str, name: str) -> None:
     """The inter-branch filesystem contract (scripts/main.py:530-622)."""
     from PIL import Image
 
     os.makedirs(output_dir, exist_ok=True)
-    Image.fromarray(out["instance_map"].astype(np.uint8)).save(
+    Image.fromarray(quantize_instance_map(out["instance_map"])).save(
         os.path.join(output_dir, f"{name}.png"))
-    nrm = np.clip(out["normal_map"].transpose(1, 2, 0) * 255, 0,
-                  255).astype(np.uint8)
-    Image.fromarray(nrm).save(os.path.join(output_dir, f"{name}-normal.png"))
+    Image.fromarray(quantize_normal_map(out["normal_map"])).save(
+        os.path.join(output_dir, f"{name}-normal.png"))
     dep = (np.clip(out["depth_map"], 0, 1) * 65535).astype(np.uint16)
     Image.fromarray(dep).save(          # uint16 -> I;16 (PIL infers)
         os.path.join(output_dir, f"{name}-depth.png"))
@@ -116,11 +129,8 @@ def save_outputs(out: dict, output_dir: str, name: str) -> None:
 
 def _keep_largest(cfg, class_ids, masks, rois):
     """keep <=16 largest masks (scripts/main.py:812-818)."""
-    if len(class_ids) > cfg.max_objects:
-        areas = masks[:, 0].sum((1, 2))
-        keep = np.argsort(-areas)[:cfg.max_objects]
-        return class_ids[keep], masks[keep], rois[keep]
-    return class_ids, masks, rois
+    from sdn3d_tpu.pipelines.derender_infer import keep_largest_detections
+    return keep_largest_detections(cfg, class_ids, masks, rois)
 
 
 def _iter_work(args):

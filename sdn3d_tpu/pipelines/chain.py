@@ -132,28 +132,30 @@ class EditChain:
 
     def labels(self, image_rgb: np.ndarray,
                cache_key: Optional[str] = None) -> np.ndarray:
-        """Semantic stage: multi-scale argmax labels [H, W] uint8
-        (cli/semantic_test.infer_image semantics)."""
+        """Semantic stage: multi-scale argmax labels [H, W] uint8 — the
+        one implementation in cli/semantic_test.infer_image."""
         if cache_key is not None and cache_key in self._label_cache:
             return self._label_cache[cache_key]
         t0 = time.perf_counter()
-        from sdn3d_tpu.data.semantic_data import MEAN_BGR, STD_BGR
-        from sdn3d_tpu.pipelines.semantic import multiscale_labels
-        img = image_rgb.astype(np.float32)[:, :, ::-1]
-        img = (img - np.asarray(MEAN_BGR, np.float32)) / np.asarray(
-            STD_BGR, np.float32)
-        pred = multiscale_labels(self.semantic_vars, self.semantic_model,
-                                 img, scales=tuple(self.cfg.scales))
+        from sdn3d_tpu.cli.semantic_test import infer_image
+        pred = infer_image(self.semantic_model, self.semantic_vars,
+                           image_rgb,
+                           SimpleNamespace(scales=tuple(self.cfg.scales)))
         self.stage_s["semantic"] += time.perf_counter() - t0
         if cache_key is not None:
             self._label_cache[cache_key] = pred
         return pred
 
     def detect(self, image_rgb: np.ndarray):
+        """Mask R-CNN proposals, capped to the derenderer's padded slot
+        count like cli/geometric_main does after detect."""
         assert self.detector is not None, \
             "EditChain built without a detector; pass dets= to edit_frame"
+        from sdn3d_tpu.pipelines.derender_infer import \
+            keep_largest_detections
         det, variables = self.detector
-        return det.detect(variables, image_rgb)
+        return keep_largest_detections(self.infer_cfg,
+                                       *det.detect(variables, image_rgb))
 
     def derender(self, image_rgb: np.ndarray, dets,
                  operations: Optional[List[dict]] = None,
@@ -202,6 +204,8 @@ class EditChain:
         from PIL import Image
 
         from sdn3d_tpu.cli.edit_vkitti import generate_edit_from_images
+        from sdn3d_tpu.cli.geometric_main import (quantize_instance_map,
+                                                  quantize_normal_map)
         from sdn3d_tpu.data.textural_data import transform_image
 
         args, wh = self._tex_args, self._wh
@@ -222,10 +226,9 @@ class EditChain:
                                               feats)
 
         inst_img = Image.fromarray(
-            geo_out["instance_map"].astype(np.uint8))
-        nrm = np.clip(geo_out["normal_map"].transpose(1, 2, 0) * 255,
-                      0, 255).astype(np.uint8)
-        normal_img = Image.fromarray(nrm)
+            quantize_instance_map(geo_out["instance_map"]))
+        normal_img = Image.fromarray(
+            quantize_normal_map(geo_out["normal_map"]))
 
         fake, maps = generate_edit_from_images(
             self.textural_trainer, self.textural_state, base_img_t,
@@ -244,7 +247,7 @@ class EditChain:
 
         `dets` is (class_ids, masks, rois) (e.g. VKITTI GT); when None
         the built-in Mask R-CNN runs.  Returns label, geometric outputs,
-        and the generated frame [3, fine_h, fine_w] in [-1, 1].
+        and the generated frame [fine_h, fine_w, 3] in [-1, 1].
         """
         if label is None:
             label = self.labels(image_rgb, cache_key=cache_key)

@@ -200,6 +200,18 @@ def refine_silhouettes(blob: Dict[str, jnp.ndarray], bank: DeviceMeshBank,
     return out
 
 
+def keep_largest_detections(cfg: DerenderInferConfig, class_ids, masks,
+                            rois):
+    """Keep the <= max_objects largest masks (scripts/main.py:812-818) —
+    required before derender_encode, whose padded slots cap at
+    cfg.max_objects."""
+    if len(class_ids) > cfg.max_objects:
+        areas = masks[:, 0].sum((1, 2))
+        keep = np.argsort(-areas)[:cfg.max_objects]
+        return class_ids[keep], masks[keep], rois[keep]
+    return class_ids, masks, rois
+
+
 def derender_encode(
     variables,
     model: Derenderer,

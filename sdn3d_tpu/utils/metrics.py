@@ -68,6 +68,16 @@ def dssim(p0: np.ndarray, p1: np.ndarray,
 _LPIPS_VARS = None
 
 
+def load_lpips(path: str):
+    """Load a reference LPIPS checkpoint (.pth, official `lpips` package
+    layout) and port it to the flax variables `lpips()` takes."""
+    import torch
+
+    from sdn3d_tpu.utils.port import port_lpips
+    return port_lpips(torch.load(path, map_location="cpu",
+                                 weights_only=True))
+
+
 def lpips(p0: np.ndarray, p1: np.ndarray, value_range: float = 255.0,
           variables=None) -> float:
     """LPIPS perceptual distance (models/lpips.py; VGG16 variant).
