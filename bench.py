@@ -27,17 +27,25 @@ import numpy as np
 REFERENCE_OBJECTS_PER_SEC = 10.0
 
 
-def _probe_device(timeout_s: float = 180.0) -> bool:
+def _probe_device(timeout_s: float = 150.0, attempts: int = 3,
+                  retry_wait_s: float = 60.0) -> bool:
     """The axon TPU relay can hang indefinitely inside device init
     (observed 2026-08-17); probe it in a bounded subprocess so a dead
-    relay yields an honest error line instead of a wedged bench run."""
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s, capture_output=True)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    relay yields an honest error line instead of a wedged bench run.
+    The relay also drops out transiently, so retry a few times before
+    declaring it dead."""
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=timeout_s, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if i + 1 < attempts:
+            time.sleep(retry_wait_s)
+    return False
 
 
 def main():

@@ -72,7 +72,14 @@ def main():
                     help="also run the fused single-process chain "
                          "(cli/edit_chain) over the same fixture and "
                          "record its numbers as result_fused")
+    ap.add_argument("--fused_only", action="store_true",
+                    help="skip the 3-CLI stages; run only the fused "
+                         "chain (fixture is still (re)generated) and "
+                         "merge result_fused into an existing --out "
+                         "file if one is present")
     args = ap.parse_args()
+    if args.fused_only:
+        args.fused = True
 
     work = args.work
     os.makedirs(work, exist_ok=True)
@@ -104,6 +111,32 @@ def main():
     times["fixture_s"] = run([
         py, os.path.join(REPO, "scripts/make_vkitti_fixture.py"),
         fixture, full_json])
+
+    def run_fused(out):
+        """Run the fused single-process chain over the fixture; record
+        result_fused + its wall-clock into `out`."""
+        fused_dir = os.path.join(work, "fused")
+        fused_s = run(module_cmd(
+            py, "sdn3d_tpu.cli.edit_chain", [
+                "--edit_json", full_json, "--data_root", fixture,
+                "--shapenet_root", "/root/reference/geometric/assets",
+                "--source", "gt", "--results_dir", fused_dir,
+                "--compute_dtype", args.compute_dtype], args.platform))
+        with open(os.path.join(fused_dir, "benchmark.json")) as f:
+            out["result_fused"] = json.load(f)
+        out.setdefault("stage_wall_s", {})["fused_chain_s"] = round(
+            fused_s, 2)
+
+    if args.fused_only:
+        out = {"pairs": n_pairs, "stage_wall_s": {}}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                out = json.load(f)
+        run_fused(out)
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=2)
+        print(json.dumps(out, indent=2))
+        return
 
     times["semantic_s"] = run(module_cmd(
         py, "sdn3d_tpu.cli.semantic_test", [
@@ -144,17 +177,7 @@ def main():
     }
 
     if args.fused:
-        fused_dir = os.path.join(work, "fused")
-        times["fused_chain_s"] = run(module_cmd(
-            py, "sdn3d_tpu.cli.edit_chain", [
-                "--edit_json", full_json, "--data_root", fixture,
-                "--shapenet_root", "/root/reference/geometric/assets",
-                "--source", "gt", "--results_dir", fused_dir,
-                "--compute_dtype", args.compute_dtype], args.platform))
-        with open(os.path.join(fused_dir, "benchmark.json")) as f:
-            out["result_fused"] = json.load(f)
-        out["stage_wall_s"]["fused_chain_s"] = round(
-            times["fused_chain_s"], 2)
+        run_fused(out)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))

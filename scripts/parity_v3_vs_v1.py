@@ -43,6 +43,30 @@ def make_batch(n_obj=16, seed=0):
     return fv, valid
 
 
+def color_divergence(fv, valid, size):
+    """v3's fused 10-bit flat-color plane vs the exact colors[face_index]
+    gather (the v1/CPU parity path): float L-inf plus the fraction of
+    uint8 PNG bytes that flip under the file contract's quantization
+    (quantize_normal_map: clip(v*255).astype(uint8) on [0,1] maps)."""
+    from sdn3d_tpu.geometry.camera import face_normals
+    from sdn3d_tpu.ops.rasterize import _rasterize_sorted
+
+    colors = face_normals(fv)                          # [B, F, 3] in [-1,1]
+    outs = {}
+    for v in (1, 3):
+        _, _, _, rgb = _rasterize_sorted(fv, valid, size, 0.1, 100.0,
+                                         version=v, colors=colors)
+        outs[v] = np.asarray(rgb)                      # [B, 3, H, W]
+    linf = float(np.abs(outs[1] - outs[3]).max())
+    # the normal-map file contract maps [-1,1] -> [0,1] -> uint8
+    b1 = np.clip((outs[1] + 1.0) * 0.5 * 255, 0, 255).astype(np.uint8)
+    b3 = np.clip((outs[3] + 1.0) * 0.5 * 255, 0, 255).astype(np.uint8)
+    return {"color_Linf": linf,
+            "png_byte_flip_frac": float((b1 != b3).mean()),
+            "png_byte_max_delta": int(np.abs(b1.astype(int)
+                                             - b3.astype(int)).max())}
+
+
 def main():
     fv, valid = make_batch()
     results = {}
@@ -62,8 +86,10 @@ def main():
         results[size] = {"mask_flip_frac": float(flips),
                          "mask_L1": float(mask_l1),
                          "depth_L1": float(depth_l1)}
-        print(f"{size}^2: flips={flips:.2e} mask_L1={mask_l1:.2e} "
-              f"depth_L1={depth_l1:.2e}", flush=True)
+        results[size].update(color_divergence(fv, valid, size))
+        print(f"{size}^2: " + " ".join(
+            f"{k}={v:.3e}" if isinstance(v, float) else f"{k}={v}"
+            for k, v in results[size].items()), flush=True)
     print(json.dumps(results))
 
 

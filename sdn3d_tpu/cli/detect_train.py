@@ -114,12 +114,15 @@ def main(argv=None):
         return ds[int(order.randint(len(ds)))]
 
     step_cache = {}
+    epochs_done = 0
 
     def epoch_fn(trainer, state, epoch):
+        nonlocal epochs_done
         key = trainer.stage
         if key not in step_cache:
             step_cache[key] = jax.jit(trainer.make_train_step())
         step = step_cache[key]
+        losses = {}
         for it in range(args.num_iters):
             ex = example(epoch * args.num_iters + it)
             new_state, losses = step(
@@ -129,8 +132,10 @@ def main(argv=None):
                 jnp.asarray(ex["gt_boxes"]), jnp.asarray(ex["gt_masks"]),
                 jax.random.PRNGKey(epoch * 100003 + it), trainer.anchors)
             state = dict(new_state)
-        msg = " ".join(f"{k}={float(v):.4f}" for k, v in losses.items())
-        print(f"[{trainer.stage}] epoch {epoch}: {msg}", flush=True)
+        epochs_done = max(epochs_done, epoch + 1)
+        if losses:
+            msg = " ".join(f"{k}={float(v):.4f}" for k, v in losses.items())
+            print(f"[{trainer.stage}] epoch {epoch}: {msg}", flush=True)
         if (epoch + 1) % args.save_every == 0:
             save_checkpoint(args.ckpt_dir, epoch + 1, state,
                             meta={k: v for k, v in vars(args).items()})
@@ -158,7 +163,11 @@ def main(argv=None):
                              include_transfer=args.coco_ckpt is not None,
                              base_lr=args.lr, epoch_fn=capped_epoch_fn)
 
-    save_checkpoint(args.ckpt_dir, 0, state, meta=vars(args))
+    # Final state at the TRUE epoch count, so latest_step() resolves to it
+    # (a step-0 save would be shadowed by every periodic epoch checkpoint).
+    # Skip when the last epoch already checkpointed itself.
+    if epochs_done == 0 or epochs_done % args.save_every != 0:
+        save_checkpoint(args.ckpt_dir, epochs_done, state, meta=vars(args))
     print("done")
 
 

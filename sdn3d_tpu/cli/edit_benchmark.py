@@ -44,7 +44,8 @@ def build_argparser():
 def main(argv=None):
     from PIL import Image
 
-    from sdn3d_tpu.cli.edit_vkitti import load_trainer, generate_edit_frame
+    from sdn3d_tpu.cli.edit_vkitti import (load_trainer, generate_edit_frame,
+                                           prepare_source_inputs)
     from sdn3d_tpu.data.vkitti import load_edit_json, benchmark_split
     from sdn3d_tpu.data.textural_data import transform_image
     from sdn3d_tpu.utils import metrics
@@ -57,8 +58,6 @@ def main(argv=None):
 
     items = benchmark_split(load_edit_json(args.edit_json))
     gallery = HTMLGallery(args.results_dir, "92-pair edit benchmark")
-
-    import jax.numpy as jnp
 
     lpips_vars = (metrics.load_lpips(args.lpips_ckpt)
                   if args.lpips_ckpt else None)
@@ -79,13 +78,9 @@ def main(argv=None):
                                item.world, item.topic,
                                f"{item.source}.png")
             segm = os.path.join(args.segm_dir, f"{item.source_name}.png")
-            base_img_t = transform_image(Image.open(src).convert("RGB"),
-                                         args.load_size, wh)
-            base_label = (np.asarray(transform_image(
-                Image.open(segm), args.load_size, wh, nearest=True,
-                normalize=False)) * 255.0).astype(np.int32)[..., 0]
-            feats = np.asarray(trainer.encode_features_jit(
-                state.params_e, jnp.asarray(base_img_t[None])))[0]
+            base_img_t, base_label, feats = prepare_source_inputs(
+                trainer, state, Image.open(src), Image.open(segm),
+                args.load_size, wh)
             src_cache[item.source_name] = (base_img_t, base_label, feats)
         target_t = transform_image(Image.open(tgt).convert("RGB"),
                                    args.load_size, wh)

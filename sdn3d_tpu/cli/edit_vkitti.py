@@ -53,6 +53,27 @@ def load_trainer(args):
     return trainer, state
 
 
+def prepare_source_inputs(trainer, state, src_img, label_img, load_size,
+                          wh):
+    """Source-side textural inputs from PIL images: the transformed RGB
+    in [-1, 1], the int32 label map at target resolution, and the encoded
+    per-pixel feature map.  The ONE implementation shared by this CLI,
+    cli/edit_benchmark's per-source cache and EditChain.generate — the
+    math must stay identical across all callers for the fused == file
+    chain parity guarantee (tests/test_chain.py)."""
+    import jax.numpy as jnp
+
+    from sdn3d_tpu.data.textural_data import transform_image
+
+    base_img_t = transform_image(src_img.convert("RGB"), load_size, wh)
+    base_label = (np.asarray(transform_image(
+        label_img, load_size, wh, nearest=True,
+        normalize=False)) * 255.0).astype(np.int32)[..., 0]
+    feats = np.asarray(trainer.encode_features_jit(
+        state.params_e, jnp.asarray(base_img_t[None])))[0]   # [H, W, feat]
+    return base_img_t, base_label, feats
+
+
 def generate_edit_from_images(trainer, state, base_img_t, base_label,
                               inst_img, json_obj, normal_img, wh, args,
                               feats=None):
@@ -146,7 +167,6 @@ def generate_edit_frame(trainer, state, base_img_t, base_label,
 def main(argv=None):
     from PIL import Image
 
-    from sdn3d_tpu.data.textural_data import transform_image
     from sdn3d_tpu.utils.visualizer import HTMLGallery, tensor2im, \
         tensor2label
 
@@ -154,17 +174,15 @@ def main(argv=None):
     trainer, state = load_trainer(args)
     wh = (args.fine_width, args.fine_height)
 
-    base_img_t = transform_image(
-        Image.open(args.edit_source).convert("RGB"), args.load_size, wh)
-    base_label = (np.asarray(transform_image(
-        Image.open(args.segm_path), args.load_size, wh, nearest=True,
-        normalize=False)) * 255.0).astype(np.int32)[..., 0]
+    base_img_t, base_label, feats = prepare_source_inputs(
+        trainer, state, Image.open(args.edit_source),
+        Image.open(args.segm_path), args.load_size, wh)
 
     gallery = HTMLGallery(args.results_dir, "sdn3d_tpu edit results")
     for i in range(args.edit_num):
         fake, maps = generate_edit_frame(trainer, state, base_img_t,
                                          base_label, args.edit_dir, i, wh,
-                                         args)
+                                         args, feats=feats)
         gallery.add_images({
             "input_label": tensor2label(maps["label"], 14),
             "synthesized_image": tensor2im(fake),

@@ -430,12 +430,11 @@ def _silhouette_grad_pixelwise(
             # single most expensive primitive in the backward (~320 ms of
             # the 430 ms VJP at 768^2 x 16 when done per axis).
             if axis == 0:
-                hit_l, fi_l = hit, fi_c
+                hit_l = hit
                 alpha_l, grad_l = alpha, grad_alpha
                 pp_l = pp_px
             else:
                 hit_l = hit.transpose(0, 2, 1)
-                fi_l = fi_c.transpose(0, 2, 1)
                 alpha_l = alpha.transpose(0, 2, 1)
                 grad_l = grad_alpha.transpose(0, 2, 1)
                 pp_l = pp_px.transpose(0, 2, 1, 3, 4)

@@ -301,10 +301,15 @@ def pack_faces(faces: jnp.ndarray, face_valid: Optional[jnp.ndarray],
         rows += [jnp.zeros((B, F + pad), _f32)] * (N_ROWS - 12)
         packed = jnp.stack(rows, axis=1)               # [B, N_ROWS, F_pad]
         if colors is not None:
-            # 3 x 10-bit quantization of [-1, 1] flat colors (aux row 3).
-            # 10 bits resolve ~1/1023 — beyond the uint8 PNGs the normal
-            # maps feed (visualizer/geometric contract), and the packed
-            # scalar stays positive (30 bits).
+            # 3 x 10-bit quantization of [-1, 1] flat colors (aux row 3);
+            # the packed scalar stays positive (30 bits).  Max error
+            # 1/1023 per channel vs the exact colors[face_index] gather —
+            # below visual relevance, but it can flip the final uint8
+            # normal-PNG byte by +-1 LSB on pixels whose exact value sits
+            # within ~0.125/255 of a quantization boundary.  Bit-exactness
+            # policy: parity runs use kernel version 1 (or the CPU path),
+            # which takes the exact gather (_gather_face_colors); this
+            # fused plane is the v3 fast path only.
             q = jnp.clip(jnp.round((colors + 1.0) * 511.5), 0, 1023
                          ).astype(jnp.int32)           # [B, F, 3]
             crow = padded(q[..., 0] | (q[..., 1] << 10) | (q[..., 2] << 20),

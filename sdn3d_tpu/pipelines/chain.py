@@ -200,27 +200,22 @@ class EditChain:
         are cached across pairs sharing the source frame.
         """
         t0 = time.perf_counter()
-        import jax.numpy as jnp
         from PIL import Image
 
-        from sdn3d_tpu.cli.edit_vkitti import generate_edit_from_images
+        from sdn3d_tpu.cli.edit_vkitti import (generate_edit_from_images,
+                                               prepare_source_inputs)
         from sdn3d_tpu.cli.geometric_main import (quantize_instance_map,
                                                   quantize_normal_map)
-        from sdn3d_tpu.data.textural_data import transform_image
 
         args, wh = self._tex_args, self._wh
         if cache_key is not None and cache_key in self._src_cache:
             base_img_t, base_label, feats = self._src_cache[cache_key]
         else:
-            base_img_t = transform_image(Image.fromarray(image_rgb),
-                                         args.load_size, wh)
-            base_label = (np.asarray(transform_image(
-                Image.fromarray(label.astype(np.uint8)), args.load_size,
-                wh, nearest=True,
-                normalize=False)) * 255.0).astype(np.int32)[..., 0]
-            feats = np.asarray(self.textural_trainer.encode_features_jit(
-                self.textural_state.params_e,
-                jnp.asarray(base_img_t[None])))[0]
+            base_img_t, base_label, feats = prepare_source_inputs(
+                self.textural_trainer, self.textural_state,
+                Image.fromarray(image_rgb),
+                Image.fromarray(label.astype(np.uint8)),
+                args.load_size, wh)
             if cache_key is not None:
                 self._src_cache[cache_key] = (base_img_t, base_label,
                                               feats)

@@ -151,7 +151,10 @@ def change_labels_click(state: EditState, click_src: Tuple[int, int],
     label_tgt = int(out.label[yt, xt])
     inst_tgt = int(out.inst[yt, xt])
     sel = out.inst == inst_src
-    if inst_tgt > 1000:
+    # >= 1000: instance ids are k*1000-banded with k >= 1, so id exactly
+    # 1000 (object index 1) is instanced too — same test as load_state /
+    # change_label's `inst < 1000` uninstanced check.
+    if inst_tgt >= 1000:
         inst_tgt = _new_instance_id(out.inst, label_tgt)
     out.label = np.where(sel, np.int32(label_tgt), out.label)
     out.inst = np.where(sel, np.int32(inst_tgt), out.inst)
@@ -215,17 +218,18 @@ def add_objects_click(state: EditState, click: Tuple[int, int],
 def get_crop_region(mask: np.ndarray, crop_min: int = 128
                     ) -> Tuple[int, int, int, int]:
     """(min_y, min_x, max_y, max_x) around a mask, padded to at least
-    crop_min per side (ui_model.py:292-305)."""
+    crop_min per side (ui_model.py:292-305).  The maxes are EXCLUSIVE
+    slice bounds — img[min_y:max_y, min_x:max_x] covers the whole mask."""
     H, W = mask.shape
     ys, xs = np.nonzero(mask)
-    min_y, max_y = int(ys.min()), int(ys.max())
-    min_x, max_x = int(xs.min()), int(xs.max())
+    min_y, max_y = int(ys.min()), int(ys.max()) + 1
+    min_x, max_x = int(xs.min()), int(xs.max()) + 1
     if max_y - min_y < crop_min:
         min_y = max(0, (max_y + min_y) // 2 - crop_min // 2)
-        max_y = min(H - 1, min_y + crop_min)
+        max_y = min(H, min_y + crop_min)
     if max_x - min_x < crop_min:
         min_x = max(0, (max_x + min_x) // 2 - crop_min // 2)
-        max_x = min(W - 1, min_x + crop_min)
+        max_x = min(W, min_x + crop_min)
     return (min_y, min_x, max_y, max_x)
 
 

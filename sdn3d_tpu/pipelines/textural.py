@@ -234,6 +234,12 @@ class TexturalTrainer:
                    rng: Optional[jax.Array] = None
                    ) -> Tuple[TexturalState, Dict[str, jnp.ndarray]]:
             c = self.cfg
+            if c.use_global_encoder and rng is None:
+                # Training on the posterior MEAN while the KL term pulls
+                # (mu, logvar) toward N(0,1) is a silent VAE bug; the mean
+                # path is for inference only (fake_inference).
+                raise ValueError(
+                    "g_step requires rng when cfg.use_global_encoder")
 
             def loss_fn(p):
                 fake, input_label, (mu, logvar) = self._generate(
@@ -288,6 +294,11 @@ class TexturalTrainer:
                    rng: Optional[jax.Array] = None,
                    fake_concat: Optional[jnp.ndarray] = None
                    ) -> Tuple[TexturalState, Dict[str, jnp.ndarray]]:
+            if (self.cfg.use_global_encoder and fake_concat is None
+                    and rng is None):
+                raise ValueError(
+                    "d_step requires rng when cfg.use_global_encoder "
+                    "and no precomputed fake_concat is given")
             if fake_concat is None:
                 fake, input_label, _ = self._generate(
                     state.params_g, state.params_e, batch,

@@ -87,6 +87,26 @@ def test_transfer_schedule_driver():
 
 
 @pytest.mark.slow
+def test_detect_train_cli_final_checkpoint(tmp_path):
+    """The final save lands at the true epoch count (not step 0, which
+    every periodic checkpoint would shadow), and --num_iters 0 smokes the
+    schedule/checkpoint plumbing without stepping."""
+    from sdn3d_tpu.cli.detect_train import main
+    from sdn3d_tpu.core.checkpoint import latest_step
+
+    d = str(tmp_path / "ck")
+    main(["--dataset", "synthetic", "--small", "--stage", "heads",
+          "--num_epochs", "2", "--num_iters", "1", "--save_every", "5",
+          "--ckpt_dir", d])
+    assert latest_step(d) == 2
+
+    d0 = str(tmp_path / "ck0")
+    main(["--dataset", "synthetic", "--small", "--stage", "heads",
+          "--num_epochs", "1", "--num_iters", "0", "--ckpt_dir", d0])
+    assert latest_step(d0) == 1   # one (empty) epoch completed, no steps
+
+
+@pytest.mark.slow
 def test_maskrcnn_train_step():
     trainer = MaskRCNNTrainer(config=CFG, stage="heads")
     state = trainer.init(jax.random.PRNGKey(0))

@@ -231,6 +231,20 @@ def test_ui_model_click_surface():
     min_y, min_x, max_y, max_x = crop
     assert max_y - min_y >= 8 and max_x - min_x >= 12
     assert min_y <= 8 and max_x >= 19
+    # unpadded: exclusive slice bounds that cover the WHOLE instance
+    # (mask rows 8..15, cols 8..19)
+    assert get_crop_region(inst == 2001, crop_min=4) == (8, 8, 16, 20)
+
+    # target instance id exactly 1000 (object index 1) is instanced: the
+    # moved region gets a FRESH id in label-band 1, not merged into 1000
+    label3 = np.full((H, W), 5, np.int32)
+    inst3 = np.full((H, W), 5, np.int32)
+    label3[0:4, 0:4] = 1; inst3[0:4, 0:4] = 1000
+    st4 = load_state(label3, inst3, {5: clusters[5], 1: clusters[5]})
+    out = change_labels_click(st4, (20, 20), (1, 1))
+    moved_id = int(out.inst[20, 20])
+    assert moved_id != 1000 and 1000 < moved_id < 2000
+    assert (out.inst[0:4, 0:4] == 1000).all()   # the old instance remains
 
     # style previews: 3 clusters -> 3 cropped previews from the generate fn
     calls = []
