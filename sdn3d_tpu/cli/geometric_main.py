@@ -56,8 +56,7 @@ def load_derenderer(args):
     from sdn3d_tpu.geometry.assets import load_shapenet_bank
     from sdn3d_tpu.models.derenderer import Derenderer, DeviceMeshBank
 
-    import jax.numpy as _jnp
-    model = Derenderer(num_classes=8, dtype=_jnp.dtype(
+    model = Derenderer(num_classes=8, dtype=jnp.dtype(
         getattr(args, "compute_dtype", "float32")))
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, args.image_size,
@@ -72,19 +71,15 @@ def load_derenderer(args):
     return model, variables, bank
 
 
-def detect_objects(args, image_rgb: np.ndarray):
-    """Object proposals: from a GT npz or from Mask R-CNN."""
-    if args.source == "gt" or args.input_masks:
-        data = np.load(args.input_masks)
-        return data["class_ids"], data["masks"], data["rois"]
-
+def make_detector(args):
+    """Build + (optionally) restore the Mask R-CNN detector ONCE — the
+    jit program and weights are reused across every frame of the run."""
     import jax
-    import jax.numpy as jnp
 
     from sdn3d_tpu.core.checkpoint import restore_checkpoint
+    from sdn3d_tpu.models.maskrcnn import MaskRCNNConfig
     from sdn3d_tpu.pipelines.detect import MaskRCNNDetector
 
-    from sdn3d_tpu.models.maskrcnn import MaskRCNNConfig
     det = MaskRCNNDetector(MaskRCNNConfig(
         compute_dtype=getattr(args, "compute_dtype", "float32")))
     variables = det.init(jax.random.PRNGKey(0))
@@ -92,6 +87,19 @@ def detect_objects(args, image_rgb: np.ndarray):
         variables, _ = restore_checkpoint(args.maskrcnn_ckpt, variables)
     else:
         print("WARNING: no --maskrcnn_ckpt; random detector weights")
+    return det, variables
+
+
+def detect_objects(args, image_rgb: np.ndarray, detector=None):
+    """Object proposals: from a GT npz or from Mask R-CNN.  `detector`
+    is a (MaskRCNNDetector, variables) pair from make_detector; when
+    None a throwaway one is built (single-shot callers)."""
+    if args.source == "gt" or args.input_masks:
+        data = np.load(args.input_masks)
+        return data["class_ids"], data["masks"], data["rois"]
+    if detector is None:
+        detector = make_detector(args)
+    det, variables = detector
     return det.detect(variables, image_rgb)
 
 
@@ -134,7 +142,10 @@ def _keep_largest(cfg, class_ids, masks, rois):
 
 
 def _iter_work(args):
-    """Yield (name, image_rgb, gt_or_None, operations) work items.
+    """Yield (name, src_key, image_rgb, gt_or_None, operations) items.
+    `src_key` identifies the SOURCE frame — the detection cache key, so
+    items sharing a source reuse its detections (id(image) is unsafe:
+    a freed ndarray's address can be reused by a later frame).
 
     Three modes, mirroring scripts/main.py test():
       * --input_image: one frame (optionally repeated per edit item);
@@ -148,10 +159,11 @@ def _iter_work(args):
         if args.edit_json:
             from sdn3d_tpu.data.vkitti import load_edit_json
             for i, item in enumerate(load_edit_json(args.edit_json)):
-                yield f"{i:05d}", image, None, item.operations
+                yield f"{i:05d}", args.input_image, image, None, \
+                    item.operations
         else:
             name = os.path.splitext(os.path.basename(args.input_image))[0]
-            yield name, image, None, None
+            yield name, args.input_image, image, None, None
         return
 
     assert args.vkitti_root, \
@@ -174,16 +186,16 @@ def _iter_work(args):
             image = np.asarray(Image.open(VK.rgb_path(
                 args.vkitti_root, item.world, item.topic,
                 frame)).convert("RGB"))
-            yield (item.target_name, image,
+            yield (item.target_name, item.source_name, image,
                    gt_for(item.world, item.topic, frame), item.operations)
     else:
         from sdn3d_tpu.data.vkitti_derender import VKittiMotgt
         motgt = VKittiMotgt(args.vkitti_root)
         for world, topic, frame in motgt.frames(args.split):
+            name = f"{world}_{topic}_{frame:05d}"
             image = np.asarray(Image.open(VK.rgb_path(
                 args.vkitti_root, world, topic, frame)).convert("RGB"))
-            yield (f"{world}_{topic}_{frame:05d}", image,
-                   gt_for(world, topic, frame), None)
+            yield (name, name, image, gt_for(world, topic, frame), None)
 
 
 def main(argv=None):
@@ -192,25 +204,37 @@ def main(argv=None):
         DerenderInferConfig, derender_image)
     from sdn3d_tpu.utils.locks import crash_guard, try_claim
 
-    args = build_argparser().parse_args(argv)
+    parser = build_argparser()
+    args = parser.parse_args(argv)
+    if args.source == "gt" and args.input_image and not args.input_masks:
+        parser.error("--source gt with --input_image requires "
+                     "--input_masks (npz with rois/masks/class_ids)")
     model, variables, bank = load_derenderer(args)
     cfg = DerenderInferConfig(
         image_size=args.image_size, render_size=args.render_size,
         num_opts=args.num_opts, mode=TargetType.BY_NAME[args.mode])
 
+    detector = None      # built lazily, ONCE, for maskrcnn source
     cached = {}
-    for name, image, gt, ops in _iter_work(args):
+    for name, src_key, image, gt, ops in _iter_work(args):
         # lock-file skip/claim for concurrent or resumed runs
         # (scripts/main.py:707-716)
         if not try_claim(args.output_dir, name):
             print(f"skip {name} (locked)")
             continue
         with crash_guard(name):
-            key = id(image)
-            if key not in cached:
-                dets = gt if gt is not None else detect_objects(args, image)
-                cached = {key: _keep_largest(cfg, *dets)}  # keep last frame
-            class_ids, masks, rois = cached[key]
+            if src_key not in cached:
+                if gt is not None:
+                    dets = gt
+                else:
+                    if detector is None and not (
+                            args.source == "gt" or args.input_masks):
+                        detector = make_detector(args)
+                    dets = detect_objects(args, image, detector)
+                # keep the last source only (masks are large; the
+                # benchmark JSON groups items by source frame)
+                cached = {src_key: _keep_largest(cfg, *dets)}
+            class_ids, masks, rois = cached[src_key]
             out = derender_image(variables, model, bank, image, class_ids,
                                  masks, rois, cfg, operations=ops)
             save_outputs(out, args.output_dir, name)

@@ -172,6 +172,9 @@ def pose_from_blob(blob: Dict[str, jnp.ndarray], image_size: int,
             mroi[:, 1], -mroi[:, 0], -jnp.ones_like(mroi[:, 0])], axis=1)
         ptu = ptu / jnp.linalg.norm(ptu, axis=1, keepdims=True)
         out["_perspective_translations"] = depths * ptu
+        # NOTE: image_size (the encoder crop), NOT render_size, scales the
+        # training zoom even though rasterization runs at render_size —
+        # faithful to the reference (__init__.py:150 vs :65,202).
         out["_zooms"] = (image_size / focals) / jnp.max(droi, axis=1,
                                                         keepdims=True)
     else:

@@ -160,6 +160,9 @@ def _refine_jit(image_size: int, render_size: int, num_opts: int,
         # (main.py:424-425): training-mode projection, argmax class.
         out = render_blob(b, bank, TargetType.reproject, image_size,
                           render_size, training=True, force_no_sample=True)
+        # NOTE: the reg term is added per-pixel BEFORE the ignore multiply
+        # (so its effective weight scales with mean(1 - ignores)) — exactly
+        # the reference's ordering (main.py:448-451); keep for parity.
         l = (out["_masks"] - masks) ** 2 + ffd_opt_reg * jnp.mean(
             p["_ffd_coeffs"] ** 2)
         if use_ignores:

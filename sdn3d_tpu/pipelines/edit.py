@@ -22,7 +22,10 @@ from sdn3d_tpu.data.vkitti import Camera
 def match_operations(mroi_norms: np.ndarray, operations: List[dict],
                      camera=Camera) -> List[Tuple[int, int]]:
     """Pair detected objects with edit operations by nearest projected
-    center (main.py:468-479).  Returns [(index_obj, index_op)]."""
+    center (main.py:468-479).  Returns [(index_obj, index_op)].
+
+    All detections participate — including interests==0 ones — exactly
+    as the reference matches against every `_mroi_norms` row."""
     if not operations:
         return []
     op_centers = np.asarray([

@@ -237,8 +237,9 @@ def test_vkitti_gt_objects_and_dataset_mode(tmp_path):
         ["--vkitti_root", root, "--edit_json", str(ep), "--source", "gt"])
     work = list(_iter_work(args))
     assert len(work) == 1
-    name, image, gt, ops = work[0]
+    name, src_key, image, gt, ops = work[0]
     assert name == "0001_clone_00001_00002"
+    assert src_key == "0001_clone_00001"   # detection-cache key per source
     assert image.shape == (H, W, 3)
     assert gt is not None and len(gt[0]) == 2
     assert ops[0]["type"] == "delete"
