@@ -52,7 +52,7 @@ def load_derenderer(args):
     import jax
     import jax.numpy as jnp
 
-    from sdn3d_tpu.core.checkpoint import restore_checkpoint
+    from sdn3d_tpu.core.checkpoint import restore_variables
     from sdn3d_tpu.geometry.assets import load_shapenet_bank
     from sdn3d_tpu.models.derenderer import Derenderer, DeviceMeshBank
 
@@ -63,7 +63,8 @@ def load_derenderer(args):
                                           args.image_size, 3)),
         jnp.zeros((1, 2)), jnp.zeros((1, 2)), train=False)
     if args.ckpt_dir:
-        variables, step = restore_checkpoint(args.ckpt_dir, variables)
+        # accepts bare variables or cli/geometric_train's full TrainState
+        variables, step = restore_variables(args.ckpt_dir, variables)
         print(f"restored derenderer checkpoint step {step}")
     else:
         print("WARNING: no --ckpt_dir; random derenderer weights")
@@ -76,7 +77,7 @@ def make_detector(args):
     jit program and weights are reused across every frame of the run."""
     import jax
 
-    from sdn3d_tpu.core.checkpoint import restore_checkpoint
+    from sdn3d_tpu.core.checkpoint import restore_variables
     from sdn3d_tpu.models.maskrcnn import MaskRCNNConfig
     from sdn3d_tpu.pipelines.detect import MaskRCNNDetector
 
@@ -84,7 +85,8 @@ def make_detector(args):
         compute_dtype=getattr(args, "compute_dtype", "float32")))
     variables = det.init(jax.random.PRNGKey(0))
     if args.maskrcnn_ckpt:
-        variables, _ = restore_checkpoint(args.maskrcnn_ckpt, variables)
+        # accepts cli/detect_train's train-state dicts or bare variables
+        variables, _ = restore_variables(args.maskrcnn_ckpt, variables)
     else:
         print("WARNING: no --maskrcnn_ckpt; random detector weights")
     return det, variables

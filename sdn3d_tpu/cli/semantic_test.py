@@ -34,16 +34,17 @@ def load_model(args):
     import jax
     import jax.numpy as jnp
 
-    from sdn3d_tpu.core.checkpoint import restore_checkpoint
+    from sdn3d_tpu.core.checkpoint import restore_variables
     from sdn3d_tpu.models.semantic import SemanticModel
 
-    import jax.numpy as jnp
     model = SemanticModel(num_class=args.num_class,
                           dtype=jnp.dtype(args.compute_dtype))
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 64, 64, 3)), train=False)
     if args.ckpt_dir:
-        variables, step = restore_checkpoint(args.ckpt_dir, variables)
+        # restore_variables accepts both bare-variables checkpoints and
+        # the full train states cli/semantic_train saves
+        variables, step = restore_variables(args.ckpt_dir, variables)
         print(f"restored semantic checkpoint step {step}")
     else:
         print("WARNING: no --ckpt_dir; running with random weights")

@@ -88,7 +88,6 @@ def main(argv=None):
 
     args = build_argparser().parse_args(argv)
     rng = np.random.RandomState(0)
-    import jax.numpy as jnp
     model = SemanticModel(num_class=args.num_class,
                           dtype=jnp.dtype(args.compute_dtype))
     trainer = SemanticTrainer(model, lr_encoder=args.lr_encoder,

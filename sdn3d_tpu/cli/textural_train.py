@@ -18,6 +18,7 @@ def build_argparser():
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--load_size", type=int, default=624)
     p.add_argument("--fine_width", type=int, default=624)
     p.add_argument("--fine_height", type=int, default=192)
     p.add_argument("--num_iters", type=int, default=50)
@@ -30,6 +31,9 @@ def build_argparser():
     p.add_argument("--pool_size", type=int, default=0,
                    help="GAN history buffer for the D fake loss")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--no_augment", action="store_true",
+                   help="disable train-time color jitter "
+                        "(reference --use_augmentation default True)")
     p.add_argument("--small", action="store_true",
                    help="small nets (smoke mode)")
     return p
@@ -63,15 +67,34 @@ def main(argv=None):
     args = build_argparser().parse_args(argv)
     common = dict(use_vgg_loss=not args.no_vgg, lr=args.lr,
                   use_global_encoder=args.use_global_encoder,
-                  pool_size=args.pool_size)
+                  pool_size=args.pool_size,
+                  compute_dtype=args.compute_dtype)
     if args.small:
         cfg = TexturalConfig(ngf=8, ndf=8, nef=4, n_downsample_global=2,
                              n_blocks_global=2, n_downsample_e=2,
                              n_layers_d=2, max_instances=8, **common)
     else:
-        cfg = TexturalConfig(compute_dtype=args.compute_dtype, **common)
+        cfg = TexturalConfig(**common)
     trainer = TexturalTrainer(cfg)
     rng = np.random.RandomState(0)
+
+    dataset = None
+    if not args.synthetic and args.data_root and args.segm_dir \
+            and args.geo_dir:
+        from sdn3d_tpu.data.textural_data import TexturalVKittiDataset
+        dataset = TexturalVKittiDataset(
+            args.data_root, args.segm_dir, args.geo_dir, split="train",
+            load_size=args.load_size,
+            fine_wh=(args.fine_width, args.fine_height),
+            max_instances=cfg.max_instances,
+            augment=not args.no_augment)
+        print(f"train set: {len(dataset)} frames")
+    elif not args.synthetic and (args.data_root or args.segm_dir
+                                 or args.geo_dir):
+        raise SystemExit("dataset mode needs --data_root AND --segm_dir "
+                         "AND --geo_dir (semantic + geometric precomputed "
+                         "outputs, textural/README.md Train); pass "
+                         "--synthetic for random batches")
 
     state = trainer.init(jax.random.PRNGKey(0), args.fine_height,
                          args.fine_width)
@@ -82,10 +105,13 @@ def main(argv=None):
     g_step = jax.jit(trainer.make_g_step())
     d_step = jax.jit(trainer.make_d_step())
 
+    import jax.numpy as jnp
     for it in range(args.num_iters):
-        batch = synthetic_batch(args, rng, cfg)   # dataset mode: see
-        # cli/edit_benchmark.py assembly; full VKITTI loader requires the
-        # dataset to be mounted.
+        if dataset is not None:
+            batch = {k: jnp.asarray(v) for k, v in
+                     dataset.batch(rng, args.batch_size).items()}
+        else:
+            batch = synthetic_batch(args, rng, cfg)
         key = jax.random.PRNGKey(it)
         kg, kd = jax.random.split(key)
         state, g_losses = g_step(state, batch, kg)

@@ -62,6 +62,36 @@ def restore_checkpoint(directory: str, template: Any,
     return restored, step
 
 
+def restore_variables(directory: str, variables: Any,
+                      step: Optional[int] = None) -> Tuple[Any, int]:
+    """Restore model VARIABLES ({params[, batch_stats]}) from either a
+    bare-variables checkpoint or a full train-state checkpoint.
+
+    The train CLIs save whole train states (step/params/batch_stats/
+    optimizer fields); the inference CLIs only need params + batch_stats.
+    Restoring a train-state checkpoint into a variables template raises a
+    structure mismatch in orbax, so this restores structure-free and
+    extracts the model fields (train-state field names follow the
+    repo-wide convention: `params`, `batch_stats`)."""
+    import orbax.checkpoint as ocp
+
+    directory = os.path.abspath(directory)
+    if step is None:
+        step = latest_step(directory)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {directory}")
+    path = os.path.join(directory, f"step-{step}")
+    raw = ocp.StandardCheckpointer().restore(path)
+    if not isinstance(raw, dict) or "params" not in raw:
+        raise ValueError(
+            f"checkpoint at {path} has no 'params' field: {list(raw)}")
+    out = dict(variables)
+    out["params"] = raw["params"]
+    if "batch_stats" in variables and raw.get("batch_stats"):
+        out["batch_stats"] = raw["batch_stats"]
+    return out, step
+
+
 def load_meta(directory: str) -> dict:
     with open(os.path.join(directory, "manifest.json")) as f:
         return json.load(f)

@@ -14,7 +14,11 @@ from typing import Dict, Optional, Sequence, Tuple
 import numpy as np
 
 TRAIN_SCALES = (100, 150, 200, 300, 375)   # vkitti_train.py imgSize
-IMG_MAX_SIZE = 1000
+# Long-edge caps: train 1274 (vkitti_train.py:237), eval 1242
+# (vkitti_eval.py:175).  Neither binds on the 375x1242 VKITTI frames —
+# a smaller cap WOULD bind at the top scale and shrink it.
+IMG_MAX_SIZE = 1274
+IMG_MAX_SIZE_EVAL = 1242
 PADDING_CONSTANT = 8
 SEGM_DOWNSAMPLING = 8
 # img_transform normalization (semantic/vkitti_dataset.py:43-44): the
@@ -81,8 +85,6 @@ def prepare_train_sample(
 
     ph = round2nearest_multiple(nh, PADDING_CONSTANT)
     pw = round2nearest_multiple(nw, PADDING_CONSTANT)
-    img_pad = np.zeros((ph, pw, 3), np.float32)
-    img_pad[:nh, :nw] = img.astype(np.float32)
     seg_pad = np.zeros((ph, pw), np.uint8)
     seg_pad[:nh, :nw] = seg
 
@@ -91,8 +93,13 @@ def prepare_train_sample(
         (pw // SEGM_DOWNSAMPLING, ph // SEGM_DOWNSAMPLING), Image.NEAREST))
     label = seg_small.astype(np.int32) - 1        # -1 = ignore
 
-    # RGB -> BGR + normalize (vkitti_dataset.py:152-155)
-    bgr = img_pad[:, :, ::-1].copy()
+    # RGB -> BGR + normalize BEFORE padding, so pad pixels are 0 in
+    # normalized space exactly like the reference's zero batch canvas
+    # (vkitti_dataset.py:108,152-157); normalizing the padded canvas
+    # would turn the pad into ~(-540, -507, -452).
+    bgr = img.astype(np.float32)[:, :, ::-1]
     bgr = (bgr - np.asarray(MEAN_BGR, np.float32)) / np.asarray(
         STD_BGR, np.float32)
-    return {"image": bgr, "label": label}
+    img_pad = np.zeros((ph, pw, 3), np.float32)
+    img_pad[:nh, :nw] = bgr
+    return {"image": img_pad, "label": label}

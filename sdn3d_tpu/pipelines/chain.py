@@ -115,14 +115,16 @@ class EditChain:
         if with_detector or maskrcnn_ckpt:
             import jax
 
-            from sdn3d_tpu.core.checkpoint import restore_checkpoint
+            from sdn3d_tpu.core.checkpoint import restore_variables
             from sdn3d_tpu.models.maskrcnn import MaskRCNNConfig
             from sdn3d_tpu.pipelines.detect import MaskRCNNDetector
             det = MaskRCNNDetector(
                 MaskRCNNConfig(compute_dtype=cfg.compute_dtype))
             variables = det.init(jax.random.PRNGKey(0))
             if maskrcnn_ckpt:
-                variables, _ = restore_checkpoint(maskrcnn_ckpt, variables)
+                # accepts cli/detect_train's {params, batch_stats,
+                # opt_state} states as well as bare variables
+                variables, _ = restore_variables(maskrcnn_ckpt, variables)
             else:
                 print("WARNING: no maskrcnn_ckpt; random detector weights")
             detector = (det, variables)

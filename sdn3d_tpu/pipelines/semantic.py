@@ -10,6 +10,7 @@ mIoU + pixel accuracy (semantic/utils.py:146-173).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import flax
@@ -47,7 +48,10 @@ class SemanticTrainer:
     def __post_init__(self):
         def schedule(base):
             def fn(step):
-                return base * (1.0 - step / self.max_iters) ** self.lr_pow
+                # clamp: past max_iters a negative base under a fractional
+                # power is NaN, which would silently NaN every parameter
+                frac = jnp.maximum(0.0, 1.0 - step / self.max_iters)
+                return base * frac ** self.lr_pow
             return fn
 
         def sgd(base):
@@ -124,26 +128,14 @@ def pad_to_multiple(image: np.ndarray, multiple: int = 8) -> np.ndarray:
     return image
 
 
-import functools as _functools
-
-
-@_functools.lru_cache(maxsize=None)
-def _jitted_apply(model: SemanticModel):
-    # flax Modules hash by their (hashable) fields, so this caches one
-    # jitted apply per model config; each (shape, seg_size) gets its own
-    # compiled executable via jit's own cache.
-    return jax.jit(model.apply, static_argnames=("seg_size", "train"))
-
-
-@_functools.lru_cache(maxsize=None)
-def _jitted_scale_apply(model: SemanticModel, nh: int, nw: int,
-                        ph: int, pw: int, seg_h: int, seg_w: int):
-    """Resize + pad + segment, all on device — one H2D of the source image
+@functools.lru_cache(maxsize=None)
+def _jitted_scale_apply(model: SemanticModel, nh8: int, nw8: int,
+                        seg_h: int, seg_w: int):
+    """Resize + segment, all on device — one H2D of the source image
     total and one D2H of the averaged probs (the naive per-scale host
     round trips move 5x the bytes; device links are the bottleneck)."""
     def fn(variables, img_dev):
-        x = jax.image.resize(img_dev, (nh, nw, 3), method="bilinear")
-        x = jnp.pad(x, ((0, ph), (0, pw), (0, 0)))
+        x = jax.image.resize(img_dev, (nh8, nw8, 3), method="bilinear")
         return model.apply(variables, x[None], seg_size=(seg_h, seg_w),
                            train=False)[0]
     return jax.jit(fn)
@@ -153,15 +145,24 @@ def multiscale_probs_device(variables, model: SemanticModel,
                             image: np.ndarray,
                             scales: Sequence[int] = EVAL_SCALES
                             ) -> jnp.ndarray:
-    """Averaged multi-scale softmax, kept ON DEVICE ([H, W, C])."""
+    """Averaged multi-scale softmax, kept ON DEVICE ([H, W, C]).
+
+    Per-scale sizing follows the reference eval protocol EXACTLY
+    (vkitti_dataset.py:213-221): long-edge cap (imgMaxSize=1242,
+    vkitti_eval.py:175; no effect on 375x1242 VKITTI frames), then the
+    target dims are CEIL-ROUNDED to x8 and the image is RESIZED to them —
+    not zero-padded, which would stretch content+pad misaligned over
+    seg_size at scales whose dims aren't x8-multiples."""
+    from sdn3d_tpu.data.semantic_data import (IMG_MAX_SIZE_EVAL,
+                                              round2nearest_multiple)
     H, W = image.shape[:2]
     img_dev = jnp.asarray(image)
     total = None
     for s in scales:
-        scale = s / min(H, W)
-        nh, nw = int(H * scale), int(W * scale)
-        ph, pw = -nh % 8, -nw % 8
-        probs = _jitted_scale_apply(model, nh, nw, ph, pw, H, W)(
+        scale = min(s / min(H, W), IMG_MAX_SIZE_EVAL / max(H, W))
+        nh8 = round2nearest_multiple(int(H * scale), 8)
+        nw8 = round2nearest_multiple(int(W * scale), 8)
+        probs = _jitted_scale_apply(model, nh8, nw8, H, W)(
             variables, img_dev)
         total = probs if total is None else total + probs
     return total / len(scales)

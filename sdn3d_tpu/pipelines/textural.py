@@ -96,7 +96,13 @@ class TexturalConfig:
 
 def one_hot_label(label_map: jnp.ndarray, num_classes: int) -> jnp.ndarray:
     """label_map [B, H, W] int -> one-hot [B, H, W, C]
-    (pix2pixHD_model.py:128-132)."""
+    (pix2pixHD_model.py:128-132).
+
+    NOTE: shifted labels reach 14 (Vegetation raw 13 + 1) while
+    label_nc=14 encodes indices 0..13 — jax.nn.one_hot maps the
+    out-of-range id to an all-zero row, which is exactly what the
+    reference's CUDA scatter_ does with asserts off; kept for
+    behavioral parity."""
     return jax.nn.one_hot(label_map, num_classes, dtype=jnp.float32)
 
 

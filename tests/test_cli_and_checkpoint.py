@@ -27,6 +27,40 @@ def test_checkpoint_roundtrip(tmp_path):
     assert load_meta(str(tmp_path / "ck"))["meta"]["lr"] == 0.2
 
 
+def test_restore_variables_from_train_state(tmp_path):
+    """The inference loaders restore {params, batch_stats} out of the
+    FULL train states the train CLIs save (a direct restore_checkpoint
+    into a variables template raises an orbax structure mismatch)."""
+    import flax
+    from typing import Any
+    from sdn3d_tpu.core.checkpoint import save_checkpoint, restore_variables
+
+    @flax.struct.dataclass
+    class St:
+        step: jnp.ndarray
+        params: Any
+        batch_stats: Any
+        opt_state: Any
+
+    st = St(step=jnp.asarray(5),
+            params={"dense": {"kernel": jnp.arange(4.0)}},
+            batch_stats={"bn": {"mean": jnp.ones(3)}},
+            opt_state={"m": {"dense": {"kernel": jnp.zeros(4)}}})
+    save_checkpoint(str(tmp_path / "ts"), 5, st)
+    variables = {"params": {"dense": {"kernel": jnp.zeros(4)}},
+                 "batch_stats": {"bn": {"mean": jnp.zeros(3)}}}
+    out, step = restore_variables(str(tmp_path / "ts"), variables)
+    assert step == 5
+    np.testing.assert_array_equal(np.asarray(out["params"]["dense"]
+                                             ["kernel"]), np.arange(4.0))
+    np.testing.assert_array_equal(np.asarray(out["batch_stats"]["bn"]
+                                             ["mean"]), np.ones(3))
+    # bare-variables checkpoints keep working through the same entry
+    save_checkpoint(str(tmp_path / "bare"), 3, variables)
+    out2, step2 = restore_variables(str(tmp_path / "bare"), variables)
+    assert step2 == 3 and "params" in out2
+
+
 @pytest.mark.slow
 def test_semantic_train_cli_synthetic(tmp_path):
     from sdn3d_tpu.cli.semantic_train import main

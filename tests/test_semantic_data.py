@@ -15,9 +15,13 @@ def test_resize_shorter_edge():
     # VKITTI frames are 375x1242; short edge 150 -> scale 0.4
     h, w = resize_shorter_edge(375, 1242, 150)
     assert h == 150 and w == 496
-    # max-size cap engages for large targets
+    # at the top scale the reference cap (1274, vkitti_train.py:237) does
+    # NOT bind — the frame keeps its full 1242 width
     h, w = resize_shorter_edge(375, 1242, 375)
-    assert w <= 1000
+    assert (h, w) == (375, 1242)
+    # the cap engages only beyond the dataset's own sizes
+    h, w = resize_shorter_edge(375, 1242, 500)
+    assert w <= 1274
 
 
 def test_round2nearest_multiple():
@@ -37,3 +41,9 @@ def test_prepare_train_sample_shapes_and_labels():
     assert lab.min() >= -1 and lab.max() <= 12
     # padded border area has ignore labels
     assert lab[-1, -1] == -1 or lab.min() == -1
+    # pad pixels are 0 IN NORMALIZED SPACE (the reference copies the
+    # normalized image into a zero canvas, vkitti_dataset.py:108,152-157);
+    # normalizing after padding would put ~-540 in the border
+    assert img.shape[0] > 100            # scale 100 -> 100 rows + pad
+    np.testing.assert_array_equal(img[101:], 0.0)
+    assert abs(float(img[:100].mean())) > 0.01   # content is normalized

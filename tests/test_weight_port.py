@@ -653,9 +653,10 @@ def test_maskrcnn_full_detect_parity(tmp_path, monkeypatch):
 @pytest.mark.slow
 def test_semantic_multiscale_port_parity():
     """End-to-end multi-scale inference parity: the full protocol
-    (per-scale resize -> pad to x8 -> segment -> upsample to segSize ->
-    average -> argmax; vkitti_test.py:46-79) against the reference modules
-    with ported weights.  Both sides consume the SAME resized inputs
+    (per-scale long-edge-capped resize to CEIL-x8 dims -> segment ->
+    upsample to segSize -> average -> argmax; vkitti_dataset.py:213-221 +
+    vkitti_test.py:46-79) against the reference modules with ported
+    weights.  Both sides consume the SAME resized inputs
     (jax.image.resize) — resize-kernel differences (scipy imresize) are a
     data-prep, not a model-port, concern."""
     _install_syncbn_stub()
@@ -687,14 +688,15 @@ def test_semantic_multiscale_port_parity():
     scales = (24, 32, 48)
 
     # reference protocol over the same per-scale inputs
+    from sdn3d_tpu.data.semantic_data import (IMG_MAX_SIZE_EVAL,
+                                              round2nearest_multiple)
     ref_pred = torch.zeros(1, 14, H, W)
     for s in scales:
-        scale = s / min(H, W)
-        nh, nw = int(H * scale), int(W * scale)
-        x = np.asarray(jax.image.resize(jnp.asarray(image), (nh, nw, 3),
+        scale = min(s / min(H, W), IMG_MAX_SIZE_EVAL / max(H, W))
+        nh8 = round2nearest_multiple(int(H * scale), 8)
+        nw8 = round2nearest_multiple(int(W * scale), 8)
+        x = np.asarray(jax.image.resize(jnp.asarray(image), (nh8, nw8, 3),
                                         method="bilinear"))
-        ph, pw = -nh % 8, -nw % 8
-        x = np.pad(x, ((0, ph), (0, pw), (0, 0)))
         xt = torch.from_numpy(x.transpose(2, 0, 1)[None])
         with torch.no_grad():
             fm = enc(xt, return_feature_maps=True)
