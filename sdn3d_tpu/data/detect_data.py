@@ -40,7 +40,7 @@ def mold_gt_example(image: np.ndarray, class_ids: np.ndarray,
                     masks: np.ndarray, config: MaskRCNNConfig,
                     anchors: np.ndarray,
                     mini_shape: Tuple[int, int] = (56, 56),
-                    max_gt: int = 32) -> Dict[str, np.ndarray]:
+                    max_gt: Optional[int] = None) -> Dict[str, np.ndarray]:
     """(image [H, W, 3] uint8/float, class_ids [N], masks [N, H, W]) ->
     fixed-shape training example:
 
@@ -49,6 +49,10 @@ def mold_gt_example(image: np.ndarray, class_ids: np.ndarray,
       gt_class_ids [max_gt], gt_boxes [max_gt, 4] normalized,
       gt_masks     [max_gt, mh, mw] mini-masks in each box's own frame
     """
+    if max_gt is None:
+        # config.MAX_GT_INSTANCES (config.py): a smaller cap silently
+        # drops instances AND mislabels their anchors as negatives
+        max_gt = config.max_gt_instances
     # resize_image goes through PIL, which needs uint8 for RGB
     molded, window, scale = resize_image(
         np.clip(image, 0, 255).astype(np.uint8), config.image_min_dim,
@@ -137,8 +141,12 @@ class VKittiDetectDataset:
         for rel in VK.get_lists(self.split):
             world, topic, name = rel.split("/")
             frame = int(name[:-4])
-            # partial mounts / fixtures carry a frame subset
-            if os.path.exists(VK.rgb_path(self.root, world, topic, frame)):
+            # partial mounts / fixtures carry a frame subset: require
+            # BOTH files __getitem__ opens (rgb + scenegt)
+            if (os.path.exists(VK.rgb_path(self.root, world, topic,
+                                           frame))
+                    and os.path.exists(VK.scenegt_path(
+                        self.root, world, topic, frame))):
                 self.frames.append((world, topic, frame))
 
     def __len__(self):

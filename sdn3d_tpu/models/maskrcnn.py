@@ -68,6 +68,14 @@ class MaskRCNNConfig:
     # stacks ~5x faster on v5e; params, BN stats, box math stay float32)
     compute_dtype: str = "float32"
 
+    def __post_init__(self):
+        # config.py:181-183: "Image size must be dividable by 2 at least
+        # 6 times" — otherwise the FPN top-down adds mismatched shapes
+        # and XLA raises an opaque broadcast error.
+        assert self.image_max_dim % 64 == 0, (
+            f"image_max_dim must be a multiple of 64, got "
+            f"{self.image_max_dim}")
+
     @property
     def image_shape(self) -> Tuple[int, int, int]:
         return (self.image_max_dim, self.image_max_dim, 3)
@@ -503,7 +511,11 @@ class MaskRCNN(nn.Module):
         from sdn3d_tpu.models.maskrcnn_train import detection_targets
 
         cfg = self.config
-        pyramid = self.fpn(images, train=True)
+        # BatchNorm stays in EVAL mode during training — running stats
+        # are used and never updated (model.py:1714-1720 set_bn_eval;
+        # batch size 1 makes batch statistics useless).  `train=False`
+        # here gates ONLY the BN mode; there is no dropout in the model.
+        pyramid = self.fpn(images, train=False)
         mrcnn_feature_maps = pyramid[:4]
 
         logits_l, probs_l, bbox_l = [], [], []
@@ -525,8 +537,9 @@ class MaskRCNN(nn.Module):
                                 gt_boxes, gt_masks, rng, cfg)
 
         cls_logits, cls_probs, bbox_deltas = self.classifier(
-            mrcnn_feature_maps, tgt["rois"], train=True)
-        pred_masks = self.mask(mrcnn_feature_maps, tgt["rois"], train=True)
+            mrcnn_feature_maps, tgt["rois"], train=False)
+        pred_masks = self.mask(mrcnn_feature_maps, tgt["rois"],
+                               train=False)
 
         return {
             "rpn_class_logits": rpn_class_logits[0],

@@ -122,9 +122,19 @@ def detection_targets(
     n_pos_max = int(T * config.roi_positive_ratio)
     gt_valid = gt_class_ids > 0
 
-    overlaps = iou_matrix(jnp.concatenate([proposals, gt_boxes], 0),
-                          plus_one=False)[:proposals.shape[0],
-                                          proposals.shape[0]:]  # [P, G]
+    # direct [P, G] cross-IoU (a concat self-IoU would compute the full
+    # (P+G)^2 matrix to use only this block)
+    py1, px1, py2, px2 = jnp.moveaxis(proposals, -1, 0)
+    gy1_, gx1_, gy2_, gx2_ = jnp.moveaxis(gt_boxes, -1, 0)
+    p_area = (py2 - py1) * (px2 - px1)
+    g_area = (gy2_ - gy1_) * (gx2_ - gx1_)
+    iy1 = jnp.maximum(py1[:, None], gy1_[None])
+    ix1 = jnp.maximum(px1[:, None], gx1_[None])
+    iy2 = jnp.minimum(py2[:, None], gy2_[None])
+    ix2 = jnp.minimum(px2[:, None], gx2_[None])
+    inter = (jnp.maximum(iy2 - iy1, 0) * jnp.maximum(ix2 - ix1, 0))
+    union = p_area[:, None] + g_area[None] - inter
+    overlaps = inter / jnp.maximum(union, 1e-12)           # [P, G]
     overlaps = jnp.where(gt_valid[None, :], overlaps, -1.0)
     roi_iou_max = overlaps.max(axis=1)
     best_gt = overlaps.argmax(axis=1)
@@ -142,6 +152,18 @@ def detection_targets(
                           -1.0)
     _, neg_idx = jax.lax.top_k(neg_score, T - n_pos_max)
     neg_ok = jnp.take(negative, neg_idx)
+
+    # Maintain the reference's pos:neg ratio against the ACTUAL positive
+    # count (model.py:667-671: negative_count = positives/ratio -
+    # positives, and ZERO negatives when there are no positives) instead
+    # of always activating all T - n_pos_max negative slots — otherwise
+    # early training drives the class head toward background at up to
+    # 1:27 instead of 1:2.
+    n_pos = jnp.sum(pos_ok)
+    neg_allowed = (jnp.floor(n_pos / config.roi_positive_ratio)
+                   .astype(jnp.int32) - n_pos)
+    neg_rank = jnp.cumsum(neg_ok.astype(jnp.int32)) - 1
+    neg_ok = neg_ok & (neg_rank < neg_allowed)
 
     roi_idx = jnp.concatenate([pos_idx, neg_idx])
     is_pos = jnp.concatenate([pos_ok, jnp.zeros_like(neg_ok)])

@@ -23,19 +23,28 @@ from sdn3d_tpu.models import maskrcnn_train as MT
 # Layer-selection regexes of the reference (model.py:1836-1848), expressed
 # as flax param-path predicates.
 def _layer_label(path: Tuple[str, ...], stage: str) -> str:
+    # BatchNorm scale/bias are permanently frozen in EVERY stage
+    # (model.py:1477-1484 set_bn_fix: requires_grad=False on all BN
+    # params), and therefore also never weight-decayed.
+    if any("bn" in p for p in path):
+        return "freeze"
     top = path[0] if path else ""
     in_resnet = top == "fpn" and len(path) > 1 and path[1] == "resnet"
     is_head = top in ("rpn", "classifier", "mask") or (
         top == "fpn" and not in_resnet)
+    is_transfer_layer = (
+        (top == "mask" and len(path) > 1 and path[1] == "conv5")
+        or (top == "classifier" and len(path) > 1
+            and path[1] in ("linear_class", "linear_bbox")))
     if stage == "transfer":
-        # stage-0 class-count transfer (vkitti.py:215-219): only the
-        # class-dependent output layers train —
+        # stage-0 class-count transfer (model.py:1861-1887): the heads
+        # train, with the class-dependent output layers —
         # (mask.conv5.*)|(classifier.linear_class.*)|(classifier.linear_bbox.*)
-        if (top == "mask" and len(path) > 1 and path[1] == "conv5") or (
-                top == "classifier" and len(path) > 1
-                and path[1] in ("linear_class", "linear_bbox")):
-            return "train"
-        return "freeze"
+        # — in their own lr=1e-2 group and the remaining heads at the
+        # stage learning rate (1e-5, vkitti.py:216).
+        if is_transfer_layer:
+            return "transfer"
+        return "train" if is_head else "freeze"
     if stage == "heads":
         return "train" if is_head else "freeze"
     if stage == "4+":
@@ -102,17 +111,20 @@ class MaskRCNNTrainer:
     momentum: float = 0.9
     weight_decay: float = 1e-4
     clipnorm: float = 5.0
-    stage: str = "heads"                  # "heads" | "4+" | "all"
+    stage: str = "heads"                  # "transfer"|"heads"|"4+"|"all"
+    transfer_lr: float = 1e-2            # model.py:1866 transfer group
 
     def __post_init__(self):
         self.model = MaskRCNN(config=self.config)
         self.anchors = jnp.asarray(generate_pyramid_anchors(self.config))
 
-        trainable = optax.chain(
-            optax.clip_by_global_norm(self.clipnorm),
-            optax.add_decayed_weights(self.weight_decay),
-            optax.sgd(self.learning_rate, momentum=self.momentum),
-        )
+        def sgd(lr):
+            return optax.chain(
+                optax.clip_by_global_norm(self.clipnorm),
+                optax.add_decayed_weights(self.weight_decay),
+                optax.sgd(lr, momentum=self.momentum),
+            )
+
         stage = self.stage
 
         def label_fn(params):
@@ -121,7 +133,9 @@ class MaskRCNNTrainer:
             return flax.traverse_util.unflatten_dict(labels)
 
         self.tx = optax.multi_transform(
-            {"train": trainable, "freeze": optax.set_to_zero()}, label_fn)
+            {"train": sgd(self.learning_rate),
+             "transfer": sgd(self.transfer_lr),
+             "freeze": optax.set_to_zero()}, label_fn)
 
     def init(self, rng: jax.Array):
         cfg = self.config
@@ -143,11 +157,13 @@ class MaskRCNNTrainer:
                        gt_class_ids, gt_boxes, gt_masks, rng, anchors
                        ) -> Tuple[Any, Dict[str, jnp.ndarray]]:
             def loss_fn(params):
-                out, new_state = self.model.apply(
+                # batch_stats are READ-ONLY: BN runs in eval mode during
+                # training (set_bn_eval, model.py:1714-1720), so the
+                # ported running averages are never overwritten.
+                out = self.model.apply(
                     {"params": params, "batch_stats": state["batch_stats"]},
                     images, anchors, gt_class_ids, gt_boxes, gt_masks, rng,
-                    method=MaskRCNN.train_forward,
-                    mutable=["batch_stats"])
+                    method=MaskRCNN.train_forward)
                 tgt = out["targets"]
                 losses = {
                     "rpn_class_loss": MT.rpn_class_loss(
@@ -165,17 +181,16 @@ class MaskRCNNTrainer:
                         out["mrcnn_masks"]),
                 }
                 total = sum(losses.values())
-                return total, (losses, new_state)
+                return total, losses
 
-            grads, (losses, new_state) = jax.grad(
+            grads, losses = jax.grad(
                 loss_fn, has_aux=True)(state["params"])
             updates, opt_state = self.tx.update(grads, state["opt_state"],
                                                 state["params"])
             params = optax.apply_updates(state["params"], updates)
             return {
                 "params": params,
-                "batch_stats": new_state.get("batch_stats",
-                                             state["batch_stats"]),
+                "batch_stats": state["batch_stats"],
                 "opt_state": opt_state,
                 "step": state["step"] + 1,
             }, losses

@@ -63,7 +63,8 @@ def test_mold_gt_example_boxes_and_masks(anchors):
 def test_synthetic_example_shapes(anchors):
     ex = synthetic_detect_example(CFG, anchors, seed=3)
     assert ex["image"].shape == (128, 128, 3)
-    assert ex["gt_masks"].shape == (32, 56, 56)
+    # padded to config.max_gt_instances (MAX_GT_INSTANCES=100)
+    assert ex["gt_masks"].shape == (CFG.max_gt_instances, 56, 56)
     assert (ex["gt_class_ids"] > 0).sum() >= 1
 
 

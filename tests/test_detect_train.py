@@ -31,21 +31,31 @@ def test_layer_labels():
                         "4+") == "freeze"
     assert _layer_label(("fpn", "resnet", "C2_0", "conv1", "kernel"),
                         "all") == "train"
+    # BatchNorm params are permanently frozen in EVERY stage
+    # (model.py:1477-1484 set_bn_fix)
+    for stage in ("transfer", "heads", "4+", "all"):
+        assert _layer_label(("fpn", "resnet", "C4_0", "bn1", "scale"),
+                            stage) == "freeze"
+        assert _layer_label(("classifier", "bn1", "bias"),
+                            stage) == "freeze"
 
 
 def test_transfer_stage_labels():
-    """Stage-0 class-count transfer trains ONLY the class-dependent output
-    layers (vkitti.py:215-219 regex)."""
-    assert _layer_label(("mask", "conv5", "kernel"), "transfer") == "train"
+    """Stage-0 class-count transfer (model.py:1861-1887): the heads are
+    trainable, with the class-dependent output layers in their own
+    lr=1e-2 'transfer' group and the remaining heads at the stage lr."""
+    assert _layer_label(("mask", "conv5", "kernel"),
+                        "transfer") == "transfer"
     assert _layer_label(("classifier", "linear_class", "kernel"),
-                        "transfer") == "train"
+                        "transfer") == "transfer"
     assert _layer_label(("classifier", "linear_bbox", "bias"),
-                        "transfer") == "train"
+                        "transfer") == "transfer"
+    # other head layers train at the (tiny) stage lr, backbone frozen
     assert _layer_label(("classifier", "conv1", "kernel"),
-                        "transfer") == "freeze"
-    assert _layer_label(("mask", "conv1", "kernel"), "transfer") == "freeze"
+                        "transfer") == "train"
+    assert _layer_label(("mask", "conv1", "kernel"), "transfer") == "train"
     assert _layer_label(("rpn", "conv_shared", "kernel"),
-                        "transfer") == "freeze"
+                        "transfer") == "train"
     assert _layer_label(("fpn", "resnet", "C4_0", "conv1", "kernel"),
                         "transfer") == "freeze"
 
