@@ -96,10 +96,9 @@ class PrefetchLoader:
         self.drop_last = drop_last
         self.shuffle = shuffle
         self.seed = seed
+        self._epoch = 0                   # per-__iter__ reshuffle salt
 
-    def _batches_of_indices(self):
-        sampler = self.sampler or EpochSampler(
-            len(self.dataset), self.shuffle, self.seed)
+    def _batches_of_indices(self, sampler):
         buf = []
         for i in sampler:
             buf.append(i)
@@ -110,50 +109,87 @@ class PrefetchLoader:
             yield list(buf)
 
     def __iter__(self):
-        idx_q: "queue.Queue" = queue.Queue()
-        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        n_batches = 0
-        for j, idxs in enumerate(self._batches_of_indices()):
-            idx_q.put((j, idxs))
-            n_batches += 1
-        stop = object()
+        # a fresh default sampler per epoch, salted so epochs reshuffle
+        # (torch DataLoader semantics); explicit samplers own their state
+        epoch = self._epoch
+        self._epoch += 1
+        sampler = self.sampler if self.sampler is not None else \
+            EpochSampler(len(self.dataset), self.shuffle,
+                         self.seed + epoch)
 
-        results: Dict[int, Dict[str, np.ndarray]] = {}
+        # Bounded IN-FLIGHT pipeline: `budget` caps the total number of
+        # batches anywhere between the feeder and the consumer (queued +
+        # decoding + decoded-but-unordered + ready), so an infinite
+        # sampler streams lazily and decoded batches cannot pile up in
+        # host memory beyond prefetch + num_workers.
+        budget = threading.Semaphore(self.prefetch + self.num_workers)
+        idx_q: "queue.Queue" = queue.Queue()
+        out_q: "queue.Queue" = queue.Queue()
+        DONE = object()
         lock = threading.Lock()
+        cond = threading.Condition(lock)
+        results: Dict[int, tuple] = {}
+        state = {"fed": 0, "done_feeding": False}
+
+        def feeder():
+            j = 0
+            for idxs in self._batches_of_indices(sampler):
+                budget.acquire()
+                idx_q.put((j, idxs))
+                j += 1
+                with lock:
+                    state["fed"] = j
+            with lock:
+                state["done_feeding"] = True
+                cond.notify_all()
+            for _ in range(self.num_workers):
+                idx_q.put(DONE)
 
         def worker():
             while True:
-                try:
-                    j, idxs = idx_q.get_nowait()
-                except queue.Empty:
+                item = idx_q.get()
+                if item is DONE:
                     return
-                batch = self.collate([self.dataset[i] for i in idxs])
+                j, idxs = item
+                try:
+                    payload = ("ok", self.collate(
+                        [self.dataset[i] for i in idxs]))
+                except BaseException as e:   # propagate, don't deadlock
+                    payload = ("err", e)
                 with lock:
-                    results[j] = batch
-
-        threads = [threading.Thread(target=worker, daemon=True)
-                   for _ in range(self.num_workers)]
+                    results[j] = payload
+                    cond.notify_all()
 
         def orderer():
-            # emit batches in order as workers fill `results`
-            for j in range(n_batches):
-                while True:
-                    with lock:
-                        if j in results:
-                            batch = results.pop(j)
-                            break
-                    threading.Event().wait(0.001)
-                out_q.put(batch)
-            out_q.put(stop)
+            j = 0
+            while True:
+                with lock:
+                    while j not in results and not (
+                            state["done_feeding"]
+                            and j >= state["fed"]):
+                        cond.wait()
+                    if j not in results:
+                        break
+                    payload = results.pop(j)
+                out_q.put(payload)
+                j += 1
+            out_q.put(("done", None))
 
+        threads = [threading.Thread(target=fn, daemon=True)
+                   for fn in [feeder] + [worker] * self.num_workers
+                   + [orderer]]
         for t in threads:
             t.start()
-        threading.Thread(target=orderer, daemon=True).start()
 
         while True:
-            batch = out_q.get()
-            if batch is stop:
+            kind, payload = out_q.get()
+            if kind == "done":
                 return
+            if kind == "err":
+                raise RuntimeError(
+                    "PrefetchLoader worker failed") from payload
+            budget.release()
+            batch = payload
             if self.sharding is not None:
                 import jax
                 batch = jax.tree_util.tree_map(

@@ -62,7 +62,10 @@ def look_at(vertices: jnp.ndarray, eye: jnp.ndarray,
     r = jnp.stack([x_axis, y_axis, z_axis], axis=1)
 
     vertices = vertices - eye[:, None, :]
-    return jnp.einsum("bvj,bkj->bvk", vertices, r)
+    # HIGHEST: geometry must not go through bf16 MXU passes (same as
+    # look())
+    return jnp.einsum("bvj,bkj->bvk", vertices, r,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def perspective_divide(vertices: jnp.ndarray, angle_deg) -> jnp.ndarray:

@@ -75,13 +75,9 @@ def apply_constraints(dP: jnp.ndarray, constraints: Sequence[Constraint]) -> jnp
     """
     for c in constraints:
         if c.kind == "symmetry":
-            flipped = jnp.flip(dP, axis=c.axis + 1)
-            sign = jnp.ones((3,), dP.dtype).at[2].set(-1.0) if c.axis == 2 else None
-            if c.axis == 2:
-                flipped = flipped * sign[:, None, None, None]
-            else:
-                # General form: negate the mirrored component.
-                flipped = flipped.at[c.axis].multiply(-1.0)
+            # the reference negates the z COMPONENT for every symmetry
+            # axis (models/transforms.py:73-77), not the mirrored one
+            flipped = jnp.flip(dP, axis=c.axis + 1).at[2].multiply(-1.0)
             dP = (dP + flipped) / 2.0
         elif c.kind == "homogeneity":
             grid_dim = c.axis + 1

@@ -66,15 +66,19 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
                          process_id: Optional[int] = None) -> None:
     """jax.distributed.initialize with env-var fallbacks (JAX reads
     COORDINATOR_ADDRESS etc. / cloud metadata when args are None).
-    Idempotent: safe to call when already initialized."""
-    if jax.process_count() > 1:
+    Idempotent: safe to call when already initialized.
+
+    The idempotency check reads jax's distributed global state directly:
+    calling jax.process_count() here would itself initialize the XLA
+    backend, after which jax.distributed.initialize unconditionally
+    raises ("must be called before any JAX calls") — the old guard made
+    multi-host init unreachable."""
+    from jax._src import distributed
+
+    if distributed.global_state.client is not None:   # already initialized
         return
-    try:
-        jax.distributed.initialize(coordinator_address, num_processes,
-                                   process_id)
-    except RuntimeError as e:  # already initialized
-        if "already" not in str(e):
-            raise
+    jax.distributed.initialize(coordinator_address, num_processes,
+                               process_id)
 
 
 def make_multihost_mesh(axis: str = DATA_AXIS,

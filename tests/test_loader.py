@@ -66,3 +66,44 @@ def test_prefetch_loader_sharded():
     assert batch["img"].shape == (8, 4, 4)
     total = jax.jit(lambda x: x.sum())(batch["idx"])
     assert int(total) == sum(range(8))
+
+
+def test_prefetch_loader_infinite_sampler_streams():
+    """An infinite WeightedSampler streams lazily — batches arrive without
+    materializing the (endless) index sequence up front."""
+    from itertools import islice
+    from sdn3d_tpu.data.loader import WeightedSampler
+
+    ds = _DS(6)
+    loader = PrefetchLoader(ds, batch_size=2, num_workers=2,
+                            sampler=WeightedSampler(np.ones(6)))
+    batches = list(islice(iter(loader), 5))
+    assert len(batches) == 5
+    for b in batches:
+        assert b["img"].shape == (2, 4, 4)
+
+
+def test_prefetch_loader_worker_error_propagates():
+    """A dataset exception surfaces as RuntimeError instead of silently
+    killing the worker and deadlocking the loader."""
+    import pytest
+
+    class Bad(_DS):
+        def __getitem__(self, i):
+            if i == 4:
+                raise ValueError("corrupt sample")
+            return super().__getitem__(i)
+
+    loader = PrefetchLoader(Bad(8), batch_size=2, num_workers=2,
+                            shuffle=False)
+    with pytest.raises(RuntimeError, match="worker failed"):
+        list(loader)
+
+
+def test_prefetch_loader_reshuffles_each_epoch():
+    loader = PrefetchLoader(_DS(12), batch_size=12, num_workers=1,
+                            shuffle=True, drop_last=False, seed=7)
+    (b1,) = list(loader)
+    (b2,) = list(loader)
+    assert not np.array_equal(b1["idx"], b2["idx"])   # per-epoch reshuffle
+    assert sorted(b1["idx"][:, 0]) == sorted(b2["idx"][:, 0])
