@@ -56,8 +56,8 @@ def main():
             "value": 0,
             "unit": "objects/s",
             "vs_baseline": 0,
-            "error": "TPU device init unreachable (probe hung >180s); "
-                     "no measurement taken",
+            "error": "TPU device init unreachable (3 probe attempts, "
+                     "150s bound each); no measurement taken",
         }))
         sys.exit(1)
 

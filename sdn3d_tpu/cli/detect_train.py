@@ -138,7 +138,7 @@ def main(argv=None):
             print(f"[{trainer.stage}] epoch {epoch}: {msg}", flush=True)
         if (epoch + 1) % args.save_every == 0:
             save_checkpoint(args.ckpt_dir, epoch + 1, state,
-                            meta={k: v for k, v in vars(args).items()})
+                            meta=vars(args))
         return state
 
     if args.stage:

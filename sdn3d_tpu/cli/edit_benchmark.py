@@ -68,9 +68,9 @@ def main(argv=None):
                      # recompute elision across pairs sharing a source)
     scoring_s = 0.0  # metric/gallery cost — NOT part of the edit
     for item in items:
-        tp = time.perf_counter()
         tgt = os.path.join(args.data_root, "vkitti_1.3.1_rgb", item.world,
                            item.topic, f"{item.target}.png")
+        tp = time.perf_counter()
         if item.source_name in src_cache:
             base_img_t, base_label, feats = src_cache[item.source_name]
         else:
@@ -82,8 +82,6 @@ def main(argv=None):
                 trainer, state, Image.open(src), Image.open(segm),
                 args.load_size, wh)
             src_cache[item.source_name] = (base_img_t, base_label, feats)
-        target_t = transform_image(Image.open(tgt).convert("RGB"),
-                                   args.load_size, wh)
 
         # geometric outputs are stored per target name (what
         # geometric_main's edit_json mode writes)
@@ -92,7 +90,12 @@ def main(argv=None):
             item.target_name, wh, args, feats=feats)
         pair_times.append(time.perf_counter() - tp)
 
+        # target decode/resize is scoring prep (the generated edit never
+        # reads the target) — keep it out of the timed edit work, same
+        # accounting as cli/edit_chain.py
         ts = time.perf_counter()
+        target_t = transform_image(Image.open(tgt).convert("RGB"),
+                                   args.load_size, wh)
         l1 = float(np.abs(fake - target_t).mean())
         l1s.append(l1)
         lp = metrics.lpips(tensor2im(fake), tensor2im(target_t),

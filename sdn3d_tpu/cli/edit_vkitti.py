@@ -36,12 +36,23 @@ def build_argparser():
 def load_trainer(args):
     import jax
 
-    from sdn3d_tpu.core.checkpoint import restore_checkpoint
-    from sdn3d_tpu.pipelines.textural import TexturalConfig, TexturalTrainer
+    from sdn3d_tpu.core.checkpoint import load_meta, restore_checkpoint
+    from sdn3d_tpu.pipelines.textural import (config_from_train_meta,
+                                              TexturalTrainer)
 
-    cfg = TexturalConfig(use_vgg_loss=not args.no_vgg,
-                         compute_dtype=getattr(args, "compute_dtype",
-                                               "float32"))
+    # Rebuild the checkpoint's training-time architecture from its manifest
+    # (reference: test/edit options re-read the persisted opt.txt flags,
+    # options/base_options.py:112-128) so e.g. --use_global_encoder or
+    # --small checkpoints restore without a tree mismatch.
+    meta = {}
+    if args.ckpt_dir:
+        try:
+            meta = load_meta(args.ckpt_dir).get("meta", {})
+        except (OSError, ValueError):
+            pass
+    cfg = config_from_train_meta(
+        meta, use_vgg_loss=not args.no_vgg,
+        compute_dtype=getattr(args, "compute_dtype", "float32"))
     trainer = TexturalTrainer(cfg)
     state = trainer.init(jax.random.PRNGKey(0), args.fine_height,
                          args.fine_width)

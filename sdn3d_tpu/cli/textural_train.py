@@ -62,7 +62,8 @@ def main(argv=None):
 
     from sdn3d_tpu.core.checkpoint import (
         latest_step, restore_checkpoint, save_checkpoint)
-    from sdn3d_tpu.pipelines.textural import TexturalConfig, TexturalTrainer
+    from sdn3d_tpu.pipelines.textural import (SMALL_NET_OVERRIDES,
+                                              TexturalConfig, TexturalTrainer)
 
     args = build_argparser().parse_args(argv)
     common = dict(use_vgg_loss=not args.no_vgg, lr=args.lr,
@@ -70,11 +71,8 @@ def main(argv=None):
                   pool_size=args.pool_size,
                   compute_dtype=args.compute_dtype)
     if args.small:
-        cfg = TexturalConfig(ngf=8, ndf=8, nef=4, n_downsample_global=2,
-                             n_blocks_global=2, n_downsample_e=2,
-                             n_layers_d=2, max_instances=8, **common)
-    else:
-        cfg = TexturalConfig(**common)
+        common.update(SMALL_NET_OVERRIDES)
+    cfg = TexturalConfig(**common)
     trainer = TexturalTrainer(cfg)
     rng = np.random.RandomState(0)
 

@@ -130,11 +130,14 @@ class PrefetchLoader:
         cond = threading.Condition(lock)
         results: Dict[int, tuple] = {}
         state = {"fed": 0, "done_feeding": False}
+        stop = threading.Event()   # consumer abandoned the iterator
 
         def feeder():
             j = 0
             for idxs in self._batches_of_indices(sampler):
                 budget.acquire()
+                if stop.is_set():
+                    break
                 idx_q.put((j, idxs))
                 j += 1
                 with lock:
@@ -181,17 +184,31 @@ class PrefetchLoader:
         for t in threads:
             t.start()
 
-        while True:
-            kind, payload = out_q.get()
-            if kind == "done":
-                return
-            if kind == "err":
-                raise RuntimeError(
-                    "PrefetchLoader worker failed") from payload
+        try:
+            while True:
+                kind, payload = out_q.get()
+                if kind == "done":
+                    return
+                if kind == "err":
+                    raise RuntimeError(
+                        "PrefetchLoader worker failed") from payload
+                budget.release()
+                batch = payload
+                if self.sharding is not None:
+                    import jax
+                    batch = jax.tree_util.tree_map(
+                        lambda x: jax.device_put(x, self.sharding), batch)
+                yield batch
+        finally:
+            # Shutdown on ANY exit — epoch end, consumer break/close
+            # (GeneratorExit lands here), or the worker-error re-raise:
+            # wake the feeder (one release is enough; it re-checks `stop`
+            # on every trip), let workers drain to their DONE tokens, and
+            # wake the orderer so no thread or in-flight batch outlives
+            # the iteration.
+            stop.set()
             budget.release()
-            batch = payload
-            if self.sharding is not None:
-                import jax
-                batch = jax.tree_util.tree_map(
-                    lambda x: jax.device_put(x, self.sharding), batch)
-            yield batch
+            with lock:
+                cond.notify_all()
+            for t in threads:
+                t.join(timeout=30.0)

@@ -277,7 +277,13 @@ class GlobalEncoder(nn.Module):
             h = nn.relu(instance_norm(h))
             h = nn.Conv(out_ch, (3, 3), padding=[(1, 1), (1, 1)],
                         dtype=self.dtype, name=f"block{i}_conv2")(h)
-            s = nn.avg_pool(y, (2, 2), strides=(2, 2))
+            # Pad odd dims so the pool's floor(d/2) matches the stride-2
+            # conv's ceil(d/2) (e.g. 624 -> 39 -> 20 at block3);
+            # count_include_pad=False keeps edge averages unbiased.
+            ph, pw = y.shape[1] % 2, y.shape[2] % 2
+            s = nn.avg_pool(y, (2, 2), strides=(2, 2),
+                            padding=((0, ph), (0, pw)),
+                            count_include_pad=False)
             if ch != out_ch:
                 s = nn.Conv(out_ch, (1, 1), use_bias=False,
                             dtype=self.dtype, name=f"block{i}_skip")(s)

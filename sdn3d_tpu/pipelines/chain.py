@@ -44,6 +44,39 @@ class ChainConfig:
     fine_width: int = 624
     fine_height: int = 192
     compute_dtype: str = "float32"
+    # max source frames whose per-source intermediates (labels, derender
+    # encode, textural transforms + feature map) stay resident
+    cache_sources: int = 4
+
+
+class _SourceCache:
+    """Insertion-ordered cache bounded to `cap` entries, refreshed on hit.
+
+    Benchmark pairs sharing a source arrive consecutively, so a small cap
+    gives full recompute elision; the bound keeps a long streaming run
+    (e.g. a whole --split) from pinning every source's encode/label/feature
+    maps in host memory (cli/geometric_main likewise keeps only the most
+    recent source's detection because 'masks are large')."""
+
+    def __init__(self, cap: int):
+        self.cap = max(1, int(cap))
+        self._d: Dict[str, object] = {}
+
+    def get(self, key: str):
+        v = self._d.get(key)
+        if v is not None:                      # refresh recency
+            self._d.pop(key)
+            self._d[key] = v
+        return v
+
+    def put(self, key: str, value) -> None:
+        self._d.pop(key, None)
+        self._d[key] = value
+        while len(self._d) > self.cap:
+            self._d.pop(next(iter(self._d)))
+
+    def __contains__(self, key: str) -> bool:
+        return key in self._d
 
 
 class EditChain:
@@ -63,14 +96,13 @@ class EditChain:
         self.textural_trainer, self.textural_state = textural
         self.detector = detector          # (MaskRCNNDetector, variables)
         self.stage_s = {"semantic": 0.0, "geometric": 0.0, "textural": 0.0}
-        self._label_cache: Dict[str, np.ndarray] = {}
+        self._label_cache = _SourceCache(cfg.cache_sources)
         # per-source textural inputs (transformed image, transformed
         # label, encoded feature map) — pure recompute elision for pairs
         # sharing a source frame
-        self._src_cache: Dict[str, Tuple[np.ndarray, np.ndarray,
-                                         np.ndarray]] = {}
+        self._src_cache = _SourceCache(cfg.cache_sources)
         # per-source de-render encode (objs, blob) — edit-independent
-        self._encode_cache: Dict[str, tuple] = {}
+        self._encode_cache = _SourceCache(cfg.cache_sources)
 
         from sdn3d_tpu.models.derenderer import TargetType
         from sdn3d_tpu.pipelines.derender_infer import DerenderInferConfig
@@ -136,8 +168,10 @@ class EditChain:
                cache_key: Optional[str] = None) -> np.ndarray:
         """Semantic stage: multi-scale argmax labels [H, W] uint8 — the
         one implementation in cli/semantic_test.infer_image."""
-        if cache_key is not None and cache_key in self._label_cache:
-            return self._label_cache[cache_key]
+        if cache_key is not None:
+            cached = self._label_cache.get(cache_key)
+            if cached is not None:
+                return cached
         t0 = time.perf_counter()
         from sdn3d_tpu.cli.semantic_test import infer_image
         pred = infer_image(self.semantic_model, self.semantic_vars,
@@ -145,7 +179,7 @@ class EditChain:
                            SimpleNamespace(scales=tuple(self.cfg.scales)))
         self.stage_s["semantic"] += time.perf_counter() - t0
         if cache_key is not None:
-            self._label_cache[cache_key] = pred
+            self._label_cache.put(cache_key, pred)
         return pred
 
     def detect(self, image_rgb: np.ndarray):
@@ -182,7 +216,7 @@ class EditChain:
                                       image_rgb, class_ids, masks, rois,
                                       self.infer_cfg)
             if cache_key is not None:
-                self._encode_cache[cache_key] = encoded
+                self._encode_cache.put(cache_key, encoded)
         out = derender_image(self.derender_vars, self.derender_model,
                              self.bank, image_rgb, class_ids, masks, rois,
                              self.infer_cfg, operations=operations,
@@ -210,8 +244,10 @@ class EditChain:
                                                   quantize_normal_map)
 
         args, wh = self._tex_args, self._wh
-        if cache_key is not None and cache_key in self._src_cache:
-            base_img_t, base_label, feats = self._src_cache[cache_key]
+        cached = (self._src_cache.get(cache_key)
+                  if cache_key is not None else None)
+        if cached is not None:
+            base_img_t, base_label, feats = cached
         else:
             base_img_t, base_label, feats = prepare_source_inputs(
                 self.textural_trainer, self.textural_state,
@@ -219,8 +255,8 @@ class EditChain:
                 Image.fromarray(label.astype(np.uint8)),
                 args.load_size, wh)
             if cache_key is not None:
-                self._src_cache[cache_key] = (base_img_t, base_label,
-                                              feats)
+                self._src_cache.put(cache_key,
+                                    (base_img_t, base_label, feats))
 
         inst_img = Image.fromarray(
             quantize_instance_map(geo_out["instance_map"]))

@@ -94,6 +94,34 @@ class TexturalConfig:
         return nc
 
 
+# Shrunken net dims for --small smoke runs (one definition shared by the
+# train CLI and config_from_train_meta so checkpoints round-trip).
+SMALL_NET_OVERRIDES = dict(ngf=8, ndf=8, nef=4, n_downsample_global=2,
+                           n_blocks_global=2, n_downsample_e=2,
+                           n_layers_d=2, max_instances=8)
+
+
+def config_from_train_meta(meta: dict, **overrides) -> TexturalConfig:
+    """Rebuild the architecture-affecting TexturalConfig fields from a
+    checkpoint manifest's training meta (the vars(args) persisted by
+    cli/textural_train.py) — the TPU analogue of the reference persisting
+    opt.txt at train time (options/base_options.py:112-128) so test/edit
+    programs reconstruct the nets the checkpoint was trained with
+    (e.g. --use_global_encoder changes the G input channels and the
+    opt_g tree).  `overrides` (inference-time choices such as
+    compute_dtype / use_vgg_loss) win over meta."""
+    kw = {}
+    if meta.get("small"):
+        kw.update(SMALL_NET_OVERRIDES)
+    for k in ("use_global_encoder", "pool_size", "lr"):
+        if k in meta:
+            kw[k] = meta[k]
+    if "no_vgg" in meta:
+        kw["use_vgg_loss"] = not meta["no_vgg"]
+    kw.update(overrides)
+    return TexturalConfig(**kw)
+
+
 def one_hot_label(label_map: jnp.ndarray, num_classes: int) -> jnp.ndarray:
     """label_map [B, H, W] int -> one-hot [B, H, W, C]
     (pix2pixHD_model.py:128-132).
@@ -223,15 +251,27 @@ class TexturalTrainer:
             batch.get("normal"), batch.get("depth"))
         mu = logvar = None
         if c.use_global_encoder:
-            mu, logvar = self.netGlobalE.apply({"params": params_ge},
-                                               batch["image"])
-            z = reparameterize(mu, logvar, rng) if rng is not None else mu
-            B, H, W, _ = g_in.shape
-            zmap = jnp.broadcast_to(z[:, None, None, :],
-                                    (B, H, W, c.global_encoder_nz))
-            g_in = jnp.concatenate([g_in, zmap], axis=-1)
+            g_in, mu, logvar = self._append_global_z(
+                params_ge, g_in, batch["image"], rng)
         fake = self.netG.apply({"params": params_g}, g_in)
         return fake, input_label, (mu, logvar)
+
+    def _append_global_z(self, params_ge, g_in: jnp.ndarray,
+                         image: jnp.ndarray,
+                         rng: Optional[jax.Array]
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Global-encoder conditioning
+        (pix2pixHD_model.py:190-198,265-271): encode the image to
+        (mu, logvar), z = reparameterized sample (posterior mean when rng
+        is None), broadcast over H x W as extra netG channels.  The ONE
+        implementation shared by train-time generation and
+        fake_inference."""
+        mu, logvar = self.netGlobalE.apply({"params": params_ge}, image)
+        z = reparameterize(mu, logvar, rng) if rng is not None else mu
+        B, H, W, _ = g_in.shape
+        zmap = jnp.broadcast_to(z[:, None, None, :],
+                                (B, H, W, self.cfg.global_encoder_nz))
+        return jnp.concatenate([g_in, zmap], axis=-1), mu, logvar
 
     def make_g_step(self):
         """Generator(+encoders) update (train.py:86-90).  `rng` drives the
@@ -356,13 +396,8 @@ class TexturalTrainer:
             c, input_label, feat_map, batch.get("pose"),
             batch.get("normal"), batch.get("depth"))
         if c.use_global_encoder:
-            mu, logvar = self.netGlobalE.apply({"params": state.params_ge},
-                                               batch["image"])
-            z = reparameterize(mu, logvar, rng) if rng is not None else mu
-            B, H, W, _ = g_in.shape
-            zmap = jnp.broadcast_to(z[:, None, None, :],
-                                    (B, H, W, c.global_encoder_nz))
-            g_in = jnp.concatenate([g_in, zmap], axis=-1)
+            g_in, _, _ = self._append_global_z(state.params_ge, g_in,
+                                               batch["image"], rng)
         return self.netG.apply({"params": state.params_g}, g_in)
 
     def pooled_fake_concat(self, state: TexturalState,

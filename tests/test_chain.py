@@ -156,3 +156,20 @@ def test_fused_chain_matches_file_chain(chain_env):
         b = open(os.path.join(dump_dir, "geo", f"{name}{suffix}"),
                  "rb").read()
         assert a == b, suffix
+
+
+def test_source_cache_bounded_lru():
+    """EditChain's per-source caches evict beyond cache_sources (a long
+    streaming run must not pin every source's encode in host memory)."""
+    from sdn3d_tpu.pipelines.chain import _SourceCache
+
+    c = _SourceCache(2)
+    c.put("a", 1)
+    c.put("b", 2)
+    assert c.get("a") == 1          # refreshes 'a'
+    c.put("c", 3)                   # evicts 'b' (least recent)
+    assert "b" not in c
+    assert c.get("a") == 1 and c.get("c") == 3
+    c.put("a", 9)                   # overwrite keeps size bounded
+    assert c.get("a") == 9
+    assert len(c._d) == 2

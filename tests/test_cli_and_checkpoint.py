@@ -317,3 +317,35 @@ def test_geometric_train_cli_vkitti(tmp_path):
           "--vkitti_root", root, "--ckpt_dir", str(out)])
     assert any(p.name.startswith("model-") or p.is_dir()
                for p in out.iterdir())
+
+
+def test_edit_cli_restores_train_meta_config(tmp_path):
+    """load_trainer must rebuild the checkpoint's train-time architecture
+    from the manifest meta (reference: edit/test options re-read the
+    persisted opt.txt) — a --use_global_encoder --small checkpoint would
+    otherwise fail the orbax tree match at restore."""
+    import jax
+
+    from sdn3d_tpu.cli.edit_vkitti import build_argparser, load_trainer
+    from sdn3d_tpu.core.checkpoint import save_checkpoint
+    from sdn3d_tpu.pipelines.textural import (SMALL_NET_OVERRIDES,
+                                              TexturalConfig,
+                                              TexturalTrainer)
+
+    cfg = TexturalConfig(use_vgg_loss=False, use_global_encoder=True,
+                         **SMALL_NET_OVERRIDES)
+    state = TexturalTrainer(cfg).init(jax.random.PRNGKey(0), 48, 64)
+    ck = str(tmp_path / "ck")
+    # meta as persisted by cli/textural_train.py (vars(args) subset)
+    save_checkpoint(ck, 3, state,
+                    meta={"small": True, "use_global_encoder": True,
+                          "no_vgg": True, "pool_size": 0, "lr": 2e-4})
+
+    args = build_argparser().parse_args(
+        ["--edit_source", "x", "--segm_path", "x", "--edit_dir", "x",
+         "--ckpt_dir", ck, "--no_vgg"])
+    trainer, restored = load_trainer(args)
+    assert trainer.cfg.use_global_encoder
+    assert trainer.cfg.ngf == SMALL_NET_OVERRIDES["ngf"]
+    assert jax.tree_util.tree_structure(restored.params_g) == \
+        jax.tree_util.tree_structure(state.params_g)

@@ -107,3 +107,50 @@ def test_prefetch_loader_reshuffles_each_epoch():
     (b2,) = list(loader)
     assert not np.array_equal(b1["idx"], b2["idx"])   # per-epoch reshuffle
     assert sorted(b1["idx"][:, 0]) == sorted(b2["idx"][:, 0])
+
+
+def test_prefetch_loader_threads_cleaned_up_on_break():
+    """Abandoning an iteration (early break / partial drain) must not leak
+    the feeder/worker/orderer threads or their in-flight batches."""
+    import gc
+    import threading
+    import time
+
+    ds = _DS(64)
+    loader = PrefetchLoader(ds, batch_size=4, num_workers=4, shuffle=False)
+    base = threading.active_count()
+    for _ in range(5):
+        for k, _b in enumerate(loader):
+            if k == 2:
+                break
+    gc.collect()                       # drop abandoned generator frames
+    deadline = time.monotonic() + 30.0
+    while (threading.active_count() > base
+           and time.monotonic() < deadline):
+        time.sleep(0.05)
+    assert threading.active_count() <= base
+
+
+def test_prefetch_loader_threads_cleaned_up_after_error():
+    """The worker-error re-raise path must also shut the pipeline down."""
+    import gc
+    import threading
+    import time
+
+    class _Bad(_DS):
+        def __getitem__(self, i):
+            if i == 5:
+                raise ValueError("boom")
+            return super().__getitem__(i)
+
+    loader = PrefetchLoader(_Bad(32), batch_size=4, num_workers=3,
+                            shuffle=False)
+    base = threading.active_count()
+    with pytest.raises(RuntimeError):
+        list(loader)
+    gc.collect()
+    deadline = time.monotonic() + 30.0
+    while (threading.active_count() > base
+           and time.monotonic() < deadline):
+        time.sleep(0.05)
+    assert threading.active_count() <= base

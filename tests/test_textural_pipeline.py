@@ -225,3 +225,18 @@ def test_textural_train_cli_dataset_mode(textural_fixture, tmp_path):
           "--fine_height", str((H // 4) * 4), "--save_every", "2",
           "--ckpt_dir", ck])
     assert latest_step(ck) == 2
+
+
+@pytest.mark.quick
+def test_global_encoder_odd_width():
+    """GlobalEncoder must init at the production 192x624 (odd widths in
+    the downsampling stack: 624 -> 39 -> 20 stride-2 conv vs pool)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdn3d_tpu.models.pix2pixhd import GlobalEncoder
+
+    enc = GlobalEncoder(nz=3, nef=8)
+    v = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 192, 624, 3)))
+    mu, logvar = enc.apply(v, jnp.zeros((1, 192, 624, 3)))
+    assert mu.shape == (1, 3) and logvar.shape == (1, 3)
