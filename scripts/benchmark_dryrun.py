@@ -77,6 +77,9 @@ def main():
                          "chain (fixture is still (re)generated) and "
                          "merge result_fused into an existing --out "
                          "file if one is present")
+    ap.add_argument("--batch_pairs", type=int, default=1,
+                    help="fused-chain pairs per device program "
+                         "(cli/edit_chain --batch_pairs)")
     args = ap.parse_args()
     if args.fused_only:
         args.fused = True
@@ -121,6 +124,7 @@ def main():
                 "--edit_json", full_json, "--data_root", fixture,
                 "--shapenet_root", "/root/reference/geometric/assets",
                 "--source", "gt", "--results_dir", fused_dir,
+                "--batch_pairs", str(args.batch_pairs),
                 "--compute_dtype", args.compute_dtype], args.platform))
         with open(os.path.join(fused_dir, "benchmark.json")) as f:
             out["result_fused"] = json.load(f)

@@ -34,6 +34,12 @@ timeout 5400 python scripts/benchmark_dryrun.py --fused_only \
     > /tmp/tpu_fused.log 2>&1
 echo "$(date -u +%FT%TZ) job 2 rc=$?" >> "$LOG"
 
-echo "$(date -u +%FT%TZ) job 3: bench.py" >> "$LOG"
+echo "$(date -u +%FT%TZ) job 3: fused benchmark, batch_pairs=8" >> "$LOG"
+timeout 5400 python scripts/benchmark_dryrun.py --fused_only \
+    --batch_pairs 8 --out /root/repo/benchmark_dryrun_batched.json \
+    > /tmp/tpu_fused_batched.log 2>&1
+echo "$(date -u +%FT%TZ) job 3 rc=$?" >> "$LOG"
+
+echo "$(date -u +%FT%TZ) job 4: bench.py" >> "$LOG"
 timeout 1800 python bench.py > /tmp/tpu_bench.log 2>&1
-echo "$(date -u +%FT%TZ) job 3 rc=$? done" >> "$LOG"
+echo "$(date -u +%FT%TZ) job 4 rc=$? done" >> "$LOG"

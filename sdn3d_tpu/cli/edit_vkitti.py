@@ -85,18 +85,13 @@ def prepare_source_inputs(trainer, state, src_img, label_img, load_size,
     return base_img_t, base_label, feats
 
 
-def generate_edit_from_images(trainer, state, base_img_t, base_label,
-                              inst_img, json_obj, normal_img, wh, args,
-                              feats=None):
-    """Core of the textural edit step from in-memory PIL images.
-
-    Entry point of the fused single-process chain
-    (pipelines/chain.py): byte-identical to the file-based path, since
-    the PNG round-trip it skips is lossless.  `inst_img` is the full-res
-    instance map (L mode), `normal_img` an RGB image or None.  `feats`
-    optionally carries the source image's pre-encoded feature map
-    [H, W, feat] so callers can cache it across pairs sharing a source
-    (pure recompute elision; identical values)."""
+def assemble_edit_conditioning(trainer, state, base_img_t, base_label,
+                               inst_img, json_obj, normal_img, wh, args,
+                               feats=None):
+    """Host-side conditioning assembly for one edit frame: transformed
+    maps + instance slots + the source-code feature splat, as numpy —
+    ready to stack into a generation batch.  Returns (maps, slots,
+    feat_map)."""
     import jax.numpy as jnp
 
     from sdn3d_tpu.data.textural_data import (
@@ -141,18 +136,57 @@ def generate_edit_from_images(trainer, state, base_img_t, base_label,
         src_slot = src_mapping.get(inst_id)
         if src_slot is not None:
             feat_map[maps["inst"] == inst_id] = means_np[src_slot]
+    return maps, slots, feat_map
 
+
+def generate_edit_from_images(trainer, state, base_img_t, base_label,
+                              inst_img, json_obj, normal_img, wh, args,
+                              feats=None):
+    """Core of the textural edit step from in-memory PIL images.
+
+    Entry point of the fused single-process chain
+    (pipelines/chain.py): byte-identical to the file-based path, since
+    the PNG round-trip it skips is lossless.  `inst_img` is the full-res
+    instance map (L mode), `normal_img` an RGB image or None.  `feats`
+    optionally carries the source image's pre-encoded feature map
+    [H, W, feat] so callers can cache it across pairs sharing a source
+    (pure recompute elision; identical values)."""
+    fakes, maps_list = generate_edit_batch(
+        trainer, state,
+        [{"base_img_t": base_img_t, "base_label": base_label,
+          "inst_img": inst_img, "json_obj": json_obj,
+          "normal_img": normal_img, "feats": feats}], wh, args)
+    return fakes[0], maps_list[0]
+
+
+def generate_edit_batch(trainer, state, items, wh, args):
+    """Batched textural generation: assemble each frame's conditioning
+    host-side, then run ONE fake_inference over the stacked [N, H, W]
+    batch (the reference generates one frame per forward,
+    edit_vkitti.py:109; batching amortizes dispatch and gives the
+    data-parallel serving axis).  Each items[i] needs base_img_t,
+    base_label, inst_img, json_obj, and optional normal_img / feats.
+    Returns (list of [H, W, 3] fakes, list of condition-map dicts)."""
+    import jax.numpy as jnp
+
+    assembled = [
+        assemble_edit_conditioning(
+            trainer, state, it["base_img_t"], it["base_label"],
+            it["inst_img"], it["json_obj"], it.get("normal_img"), wh,
+            args, feats=it.get("feats"))
+        for it in items]
     batch = {
-        "label": jnp.asarray(maps["label"][None]),
-        "inst": jnp.asarray(maps["inst"][None]),
-        "inst_slots": jnp.asarray(slots[None]),
-        "image": jnp.asarray(base_img_t[None]),
-        "pose": jnp.asarray(maps["pose"][None]),
-        "normal": jnp.asarray(maps["normal"][None].astype(np.float32)),
+        "label": jnp.asarray(np.stack([m["label"] for m, _, _ in assembled])),
+        "inst": jnp.asarray(np.stack([m["inst"] for m, _, _ in assembled])),
+        "inst_slots": jnp.asarray(np.stack([s for _, s, _ in assembled])),
+        "image": jnp.asarray(np.stack([it["base_img_t"] for it in items])),
+        "pose": jnp.asarray(np.stack([m["pose"] for m, _, _ in assembled])),
+        "normal": jnp.asarray(np.stack(
+            [m["normal"].astype(np.float32) for m, _, _ in assembled])),
     }
-    fake = trainer.fake_inference_jit(state, batch,
-                                      jnp.asarray(feat_map[None]))
-    return np.asarray(fake[0]), maps
+    feat_maps = jnp.asarray(np.stack([f for _, _, f in assembled]))
+    fakes = np.asarray(trainer.fake_inference_jit(state, batch, feat_maps))
+    return list(fakes), [m for m, _, _ in assembled]
 
 
 def generate_edit_frame(trainer, state, base_img_t, base_label,

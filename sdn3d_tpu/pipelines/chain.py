@@ -292,6 +292,105 @@ class EditChain:
                                    cache_key=cache_key)
         return {"label": label, "geo": geo, "fake": fake, "maps": maps}
 
+    def edit_frames(self, requests: Sequence[Dict[str, object]]
+                    ) -> List[Dict[str, object]]:
+        """Batched fused chain: N (source, operations) pairs through the
+        three branches with ONE device program per stage.
+
+        The geometric stage flattens the N frames' padded object slots
+        into a single [N*M]-object render (derender_images_batch) and the
+        textural stage generates all N frames in one forward
+        (generate_edit_batch) — the serving shape that amortizes per-call
+        dispatch and whose leading axis is the data-parallel sharding
+        axis on a device mesh.  Each request takes the same keys as
+        edit_frame (image_rgb, operations, dets, label, cache_key);
+        outputs match edit_frame's exactly (pinned by
+        tests/test_chain.py::test_batched_chain_matches_single).
+        """
+        import time as _time
+
+        from sdn3d_tpu.cli.edit_vkitti import generate_edit_batch
+        from sdn3d_tpu.pipelines.derender_infer import (
+            derender_encode, derender_images_batch)
+
+        # semantic + detection per request (per-source caches apply)
+        labels = []
+        dets_list = []
+        for r in requests:
+            label = r.get("label")
+            if label is None:
+                label = self.labels(r["image_rgb"],
+                                    cache_key=r.get("cache_key"))
+            labels.append(label)
+            dets = r.get("dets")
+            if dets is None:
+                dets = self.detect(r["image_rgb"])
+            dets_list.append(dets)
+
+        # geometric: cached per-source encodes, one batched render
+        t0 = _time.perf_counter()
+        frames = []
+        for r, dets in zip(requests, dets_list):
+            class_ids, masks, rois = dets
+            key = r.get("cache_key")
+            encoded = self._encode_cache.get(key) if key is not None \
+                else None
+            if encoded is None:
+                encoded = derender_encode(
+                    self.derender_vars, self.derender_model, self.bank,
+                    r["image_rgb"], class_ids, masks, rois,
+                    self.infer_cfg)
+                if key is not None:
+                    self._encode_cache.put(key, encoded)
+            frames.append({
+                "image_rgb": r["image_rgb"], "class_ids": class_ids,
+                "image_masks": masks, "rois": rois,
+                "operations": r.get("operations"), "encoded": encoded,
+            })
+        geos = derender_images_batch(self.derender_vars,
+                                     self.derender_model, self.bank,
+                                     frames, self.infer_cfg)
+        self.stage_s["geometric"] += _time.perf_counter() - t0
+
+        # textural: cached per-source inputs, one batched generation
+        t0 = _time.perf_counter()
+        from PIL import Image
+
+        from sdn3d_tpu.cli.edit_vkitti import prepare_source_inputs
+        from sdn3d_tpu.cli.geometric_main import (quantize_instance_map,
+                                                  quantize_normal_map)
+
+        items = []
+        for r, label, geo in zip(requests, labels, geos):
+            key = r.get("cache_key")
+            cached = self._src_cache.get(key) if key is not None else None
+            if cached is None:
+                cached = prepare_source_inputs(
+                    self.textural_trainer, self.textural_state,
+                    Image.fromarray(r["image_rgb"]),
+                    Image.fromarray(label.astype(np.uint8)),
+                    self._tex_args.load_size, self._wh)
+                if key is not None:
+                    self._src_cache.put(key, cached)
+            base_img_t, base_label, feats = cached
+            items.append({
+                "base_img_t": base_img_t, "base_label": base_label,
+                "inst_img": Image.fromarray(
+                    quantize_instance_map(geo["instance_map"])),
+                "json_obj": geo["json_obj"],
+                "normal_img": Image.fromarray(
+                    quantize_normal_map(geo["normal_map"])),
+                "feats": feats,
+            })
+        fakes, maps_list = generate_edit_batch(
+            self.textural_trainer, self.textural_state, items, self._wh,
+            self._tex_args)
+        self.stage_s["textural"] += _time.perf_counter() - t0
+
+        return [{"label": label, "geo": geo, "fake": fake, "maps": maps}
+                for label, geo, fake, maps in
+                zip(labels, geos, fakes, maps_list)]
+
     def dump(self, label: np.ndarray, geo: Dict[str, object],
              segm_dir: str, geo_dir: str, source_name: str,
              target_name: str) -> None:

@@ -287,7 +287,20 @@ def derender_image(
                                   class_ids, image_masks, rois, cfg,
                                   image_ignores, all_interested)
     objs, blob = encoded
+    blob_t, interests = _edited_blob(objs, blob, operations)
+    out, inst, nrm, dep = _render_composite_jit(
+        cfg.mode, cfg.image_size, cfg.render_size, H, W)(
+        blob_t, bank, jnp.asarray(interests), jnp.asarray(objs["valid"]))
 
+    return _package_frame(objs, rois, interests, out, inst, nrm, dep,
+                          metas=metas)
+
+
+def _edited_blob(objs, blob, operations: Optional[List[dict]]
+                 ) -> Tuple[Dict[str, jnp.ndarray], np.ndarray]:
+    """Apply edit operations to an encoded blob (host-side op matching +
+    pose rewrites, main.py:461-514) and return the jit-ready tensor blob
+    plus the per-slot interests after deletes."""
     interests = objs["interests"].copy()
     interests = interests * objs["valid"]
     if operations:
@@ -302,10 +315,20 @@ def derender_image(
     # blob may carry non-tensor entries; keep only device arrays for jit.
     blob_t = {k: v for k, v in blob.items()
               if isinstance(v, (jnp.ndarray, np.ndarray))}
-    out, inst, nrm, dep = _render_composite_jit(
-        cfg.mode, cfg.image_size, cfg.render_size, H, W)(
-        blob_t, bank, jnp.asarray(interests), jnp.asarray(objs["valid"]))
+    return blob_t, interests
 
+
+_STATE_KEYS = ("_scales", "_rotations", "_translations", "_zooms",
+               "_class_samples")
+
+
+def _package_frame(objs, rois, interests, out, inst, nrm, dep,
+                   metas: Optional[List[dict]] = None) -> Dict[str, object]:
+    """Host-side packaging of one frame's render outputs into the
+    derender_image contract (instance/normal/depth maps + per-object JSON
+    + 3D state pkl equivalent, main.py:530-622).  Shared by the
+    single-frame and batched paths — the file contract must stay
+    byte-identical between them."""
     json_obj = {}
     depths_np = np.asarray(out["_depths"])
     alphas_np = np.asarray(out["_alphas"])
@@ -320,16 +343,9 @@ def derender_image(
                 entry.update(metas[i])
             json_obj[i + 1] = entry
 
-    state = {
-        "num_objs": objs["num_objs"],
-        "rois": rois,
-        "interests": interests,
-        "_scales": np.asarray(out["_scales"]),
-        "_rotations": np.asarray(out["_rotations"]),
-        "_translations": np.asarray(out["_translations"]),
-        "_zooms": np.asarray(out["_zooms"]),
-        "_class_samples": np.asarray(out["_class_samples"]),
-    }
+    state = {"num_objs": objs["num_objs"], "rois": rois,
+             "interests": interests}
+    state.update({k: np.asarray(out[k]) for k in _STATE_KEYS})
 
     return {
         "instance_map": np.asarray(inst),
@@ -339,3 +355,104 @@ def derender_image(
         "state": state,
         "interests": interests,
     }
+
+
+@functools.lru_cache(maxsize=None)
+def _render_composite_batch_jit(mode: int, image_size: int,
+                                render_size: int, height: int, width: int,
+                                n_frames: int):
+    """Multi-frame variant of _render_composite_jit: N frames' padded
+    object slots flatten into ONE [N*M]-object render program (objects
+    are independent through render_blob — same raster kernel, bigger
+    batch), and only the full-frame composites vmap over the frame axis.
+    This is the TPU-native serving shape: per-call dispatch and kernel
+    launch overheads amortize over the batch, and the leading frame axis
+    is the natural data-parallel sharding axis on a device mesh."""
+    @jax.jit
+    def fn(blob, bank, interests, obj_valid):
+        flat = jax.tree_util.tree_map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), blob)
+        out = render_blob(flat, bank, mode, image_size, render_size,
+                          training=False, obj_valid=obj_valid.reshape(-1))
+        out = jax.tree_util.tree_map(
+            lambda x: x.reshape((n_frames, -1) + x.shape[1:]), out)
+
+        def comp(o, i):
+            return edit_mod.composite_objects(
+                o["_masks"],
+                o.get("_normals",
+                      jnp.zeros_like(jnp.repeat(o["_masks"], 3, 1))),
+                o.get("_depth_maps", jnp.ones_like(o["_masks"]) * 100.0),
+                o["_center2ds"], o["_zooms"], o["_depths"], i,
+                height=height, width=width, render_size=render_size)
+
+        inst, nrm, dep = jax.vmap(comp)(out, interests)
+        return out, inst, nrm, dep
+
+    return fn
+
+
+def derender_images_batch(
+    variables,
+    model: Derenderer,
+    bank: DeviceMeshBank,
+    frames: List[Dict[str, object]],
+    cfg: Optional[DerenderInferConfig] = None,
+    sharding=None,
+) -> List[Dict[str, object]]:
+    """Batched multi-frame geometric inference.
+
+    Each frames[i] is a dict with keys `image_rgb`, `class_ids`,
+    `image_masks`, `rois` and optional `operations` / `metas` /
+    `encoded` / `image_ignores` / `all_interested` — the same arguments
+    derender_image takes.  All frames must share the full-frame size.
+    Returns one derender_image-contract dict per frame (identical values
+    to calling derender_image per frame: the render program only gains a
+    batch dimension and the composite is vmapped).
+
+    `sharding` optionally shards the frame axis over a data mesh
+    (parallel.batch_sharding): each device renders its frames' objects
+    and composites locally — the multi-chip serving mode (len(frames)
+    must divide the mesh; parity pinned by
+    tests/test_derender_infer.py::test_derender_images_batch_sharded).
+    """
+    cfg = cfg or DerenderInferConfig()
+    H, W = frames[0]["image_rgb"].shape[:2]
+
+    per = []
+    for fr in frames:
+        assert fr["image_rgb"].shape[:2] == (H, W), \
+            "batched frames must share the full-frame size"
+        encoded = fr.get("encoded")
+        if encoded is None:
+            encoded = derender_encode(
+                variables, model, bank, fr["image_rgb"], fr["class_ids"],
+                fr["image_masks"], fr["rois"], cfg,
+                fr.get("image_ignores"), fr.get("all_interested", False))
+        objs, blob = encoded
+        blob_t, interests = _edited_blob(objs, blob, fr.get("operations"))
+        per.append((objs, blob_t, interests))
+
+    keys = sorted(per[0][1].keys())
+    stacked = {k: jnp.stack([jnp.asarray(p[1][k]) for p in per])
+               for k in keys}
+    interests_b = jnp.asarray(np.stack([p[2] for p in per]))
+    valid_b = jnp.asarray(np.stack([p[0]["valid"] for p in per]))
+    if sharding is not None:
+        stacked = {k: jax.device_put(v, sharding)
+                   for k, v in stacked.items()}
+        interests_b = jax.device_put(interests_b, sharding)
+        valid_b = jax.device_put(valid_b, sharding)
+
+    outN, instN, nrmN, depN = _render_composite_batch_jit(
+        cfg.mode, cfg.image_size, cfg.render_size, H, W, len(frames))(
+        stacked, bank, interests_b, valid_b)
+
+    results = []
+    for i, (objs, _bt, interests) in enumerate(per):
+        out_i = {k: v[i] for k, v in outN.items()}
+        results.append(_package_frame(
+            objs, frames[i]["rois"], interests, out_i,
+            instN[i], nrmN[i], depN[i],
+            metas=frames[i].get("metas")))
+    return results

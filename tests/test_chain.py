@@ -173,3 +173,45 @@ def test_source_cache_bounded_lru():
     c.put("a", 9)                   # overwrite keeps size bounded
     assert c.get("a") == 9
     assert len(c._d) == 2
+
+
+@pytest.mark.slow
+def test_batched_chain_matches_single(chain_env):
+    """edit_frames (one device program per stage for N pairs) must match
+    edit_frame pair-by-pair: batching may not change any output."""
+    from PIL import Image
+
+    from sdn3d_tpu.cli.geometric_main import _keep_largest
+    from sdn3d_tpu.data import vkitti as VK
+    from sdn3d_tpu.pipelines.chain import ChainConfig, EditChain
+
+    work, root, edit_json = chain_env
+    cfg = ChainConfig(scales=(100,), image_size=64, render_size=64,
+                      load_size=160, fine_width=160, fine_height=96)
+    chain = EditChain.build(cfg, SHAPENET)
+    items = VK.benchmark_split(VK.load_edit_json(edit_json))
+    assert len(items) == 2
+    table_inst = VK.get_tables("inst", root)
+
+    requests = []
+    for item in items:
+        frame = int(item.source)
+        image = np.asarray(Image.open(VK.rgb_path(
+            root, item.world, item.topic, frame)).convert("RGB"))
+        dets = _keep_largest(chain.infer_cfg, *VK.gt_objects(
+            root, item.world, item.topic, frame, table_inst))
+        requests.append({"image_rgb": image,
+                         "operations": item.operations,
+                         "dets": dets, "cache_key": item.source_name})
+
+    batched = chain.edit_frames(requests)
+    for r, b in zip(requests, batched):
+        s = chain.edit_frame(r["image_rgb"], operations=r["operations"],
+                             dets=r["dets"], cache_key=r["cache_key"])
+        np.testing.assert_array_equal(b["label"], s["label"])
+        np.testing.assert_array_equal(b["geo"]["instance_map"],
+                                      s["geo"]["instance_map"])
+        np.testing.assert_allclose(b["geo"]["normal_map"],
+                                   s["geo"]["normal_map"], atol=1e-6)
+        assert b["geo"]["json_obj"].keys() == s["geo"]["json_obj"].keys()
+        np.testing.assert_allclose(b["fake"], s["fake"], atol=2e-5)

@@ -78,3 +78,72 @@ def test_derender_image_refinement_runs(setup):
     out = derender_image(variables, model, bank, image, class_ids, masks,
                          rois, cfg2)
     assert np.isfinite(out["depth_map"]).all()
+
+
+def test_derender_images_batch_matches_single(setup):
+    """The batched multi-frame path (one [N*M]-object render + vmapped
+    composites) must produce the SAME outputs as per-frame
+    derender_image — the file contract may not change with batching."""
+    from sdn3d_tpu.pipelines.derender_infer import derender_images_batch
+
+    model, variables, bank, cfg = setup
+    image, rois, masks, class_ids = fake_scene()
+    ops = [{"type": "modify",
+            "from": {"u": str((rois[1, 1] + rois[1, 3]) / 2),
+                     "v": str((rois[1, 0] + rois[1, 2]) / 2)},
+            "to": {}, "zoom": "1.2", "ry": "0.2"}]
+    # three frames: plain, edited, single-object
+    frames = [
+        {"image_rgb": image, "class_ids": class_ids, "image_masks": masks,
+         "rois": rois},
+        {"image_rgb": image, "class_ids": class_ids, "image_masks": masks,
+         "rois": rois, "operations": ops},
+        {"image_rgb": image, "class_ids": class_ids[:1],
+         "image_masks": masks[:1], "rois": rois[:1]},
+    ]
+    batched = derender_images_batch(variables, model, bank, frames, cfg)
+    assert len(batched) == 3
+    for fr, b in zip(frames, batched):
+        single = derender_image(variables, model, bank, fr["image_rgb"],
+                                fr["class_ids"], fr["image_masks"],
+                                fr["rois"], cfg,
+                                operations=fr.get("operations"))
+        np.testing.assert_array_equal(b["instance_map"],
+                                      single["instance_map"])
+        np.testing.assert_allclose(b["normal_map"], single["normal_map"],
+                                   atol=1e-6)
+        np.testing.assert_allclose(b["depth_map"], single["depth_map"],
+                                   atol=1e-6)
+        assert b["json_obj"].keys() == single["json_obj"].keys()
+        for k in b["json_obj"]:
+            for f in ("class_id", "depth", "alpha"):
+                np.testing.assert_allclose(b["json_obj"][k][f],
+                                           single["json_obj"][k][f],
+                                           rtol=1e-6)
+        np.testing.assert_array_equal(b["interests"], single["interests"])
+
+
+def test_derender_images_batch_sharded(setup):
+    """The frame axis is the data-parallel serving axis: the batched
+    render sharded over the 8-device mesh must equal the unsharded run
+    (each device renders + composites its own frames; no collectives in
+    the inference graph)."""
+    from sdn3d_tpu.parallel import batch_sharding, make_mesh
+    from sdn3d_tpu.pipelines.derender_infer import derender_images_batch
+
+    model, variables, bank, cfg = setup
+    image, rois, masks, class_ids = fake_scene()
+    frame = {"image_rgb": image, "class_ids": class_ids,
+             "image_masks": masks, "rois": rois}
+    frames = [frame] * 8
+    mesh = make_mesh(8)
+    plain = derender_images_batch(variables, model, bank, frames, cfg)
+    sharded = derender_images_batch(variables, model, bank, frames, cfg,
+                                    sharding=batch_sharding(mesh))
+    for p, s in zip(plain, sharded):
+        np.testing.assert_array_equal(p["instance_map"],
+                                      s["instance_map"])
+        np.testing.assert_allclose(p["normal_map"], s["normal_map"],
+                                   atol=1e-6)
+        np.testing.assert_allclose(p["depth_map"], s["depth_map"],
+                                   atol=1e-6)
