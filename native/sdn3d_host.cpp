@@ -134,10 +134,15 @@ void crop_square_resize(const float* img, int h, int w, int c,
   std::vector<float> crop(size_t(s) * s * c, fill);
   const int sy1 = std::max(0, top), sx1 = std::max(0, left);
   const int sy2 = std::min(h, top + s), sx2 = std::min(w, left + s);
-  for (int y = sy1; y < sy2; ++y) {
-    std::memcpy(&crop[((y - top) * size_t(s) + (sx1 - left)) * c],
-                &img[(y * size_t(w) + sx1) * c],
-                sizeof(float) * c * (sx2 - sx1));
+  // An ROI fully outside the image leaves sx2 <= sx1 (or sy2 <= sy1):
+  // skip the copy entirely — a negative memcpy length would wrap to a
+  // huge size_t (the numpy fallback guards the same way, vkitti.py).
+  if (sx2 > sx1) {
+    for (int y = sy1; y < sy2; ++y) {
+      std::memcpy(&crop[((y - top) * size_t(s) + (sx1 - left)) * c],
+                  &img[(y * size_t(w) + sx1) * c],
+                  sizeof(float) * c * (sx2 - sx1));
+    }
   }
   std::vector<float> resized(size_t(size) * size * c);
   resize_bilinear_f32(crop.data(), s, s, c, resized.data(), size, size);

@@ -83,8 +83,9 @@ def restore_variables(directory: str, variables: Any,
     path = os.path.join(directory, f"step-{step}")
     raw = ocp.StandardCheckpointer().restore(path)
     if not isinstance(raw, dict) or "params" not in raw:
+        got = list(raw) if isinstance(raw, dict) else type(raw).__name__
         raise ValueError(
-            f"checkpoint at {path} has no 'params' field: {list(raw)}")
+            f"checkpoint at {path} has no 'params' field: {got}")
     out = dict(variables)
     out["params"] = raw["params"]
     if "batch_stats" in variables and raw.get("batch_stats"):

@@ -83,19 +83,16 @@ def instance_mask(instance_ids: np.ndarray, obj_index: int) -> np.ndarray:
 
 
 def disparity_ignore(disparity: np.ndarray, mask: np.ndarray,
-                     lo_pct: float = 10.0, hi_pct: float = 90.0
-                     ) -> np.ndarray:
-    """Occlusion ignore mask from disparity percentiles
-    (datasets.py:950-956): pixels whose disparity falls outside the
-    object's [10th, 90th] percentile band are ignored."""
+                     pct: float = 95.0) -> np.ndarray:
+    """Occlusion ignore mask from the disparity percentile
+    (datasets.py:950-956): take the object's own nonzero-disparity
+    pixels, find their 95th percentile, and ignore EVERY image pixel
+    nearer than that (disparity > p95) — including pixels inside the
+    mask, exactly as the reference computes `image_ignore`."""
     vals = disparity[mask > 0]
-    vals = vals[vals > 0]
-    if len(vals) == 0:
-        return np.zeros_like(mask)
-    lo = np.percentile(vals, lo_pct)
-    hi = np.percentile(vals, hi_pct)
-    nearer = (disparity > hi).astype(np.float32)
-    return np.clip(nearer * (1 - mask), 0, 1)
+    vals = vals[vals != 0]
+    thresh = np.percentile(vals, pct) if vals.size else 0.0
+    return (disparity > thresh).astype(np.float32)
 
 
 def id_map_to_train_ids(label_ids: np.ndarray) -> np.ndarray:

@@ -23,8 +23,10 @@ from sdn3d_tpu.pipelines.detect import resize_image
 def minimize_mask(mask: np.ndarray, box: np.ndarray,
                   mini_shape: Tuple[int, int]) -> np.ndarray:
     """Crop a full-size bool/float mask to its (pixel) box and resize to
-    mini_shape (utils.py:338-356; nearest like the reference's bool
-    scipy.misc.imresize)."""
+    mini_shape (utils.py:338-356): bilinear interpolation of the 0/255
+    mask then threshold at >= 128, the reference's
+    scipy.misc.imresize(m.astype(float), shape, interp='bilinear')
+    followed by np.where(m >= 128, 1, 0)."""
     from PIL import Image
 
     y1, x1, y2, x2 = [int(round(v)) for v in box]
@@ -32,15 +34,17 @@ def minimize_mask(mask: np.ndarray, box: np.ndarray,
     if crop.size == 0:
         return np.zeros(mini_shape, np.float32)
     img = Image.fromarray((crop > 0.5).astype(np.uint8) * 255)
-    out = np.asarray(img.resize(mini_shape[::-1], Image.NEAREST))
-    return (out > 127).astype(np.float32)
+    out = np.asarray(img.resize(mini_shape[::-1], Image.BILINEAR))
+    return (out >= 128).astype(np.float32)
 
 
 def mold_gt_example(image: np.ndarray, class_ids: np.ndarray,
                     masks: np.ndarray, config: MaskRCNNConfig,
                     anchors: np.ndarray,
                     mini_shape: Tuple[int, int] = (56, 56),
-                    max_gt: Optional[int] = None) -> Dict[str, np.ndarray]:
+                    max_gt: Optional[int] = None,
+                    rng: Optional[np.random.RandomState] = None
+                    ) -> Dict[str, np.ndarray]:
     """(image [H, W, 3] uint8/float, class_ids [N], masks [N, H, W]) ->
     fixed-shape training example:
 
@@ -50,8 +54,6 @@ def mold_gt_example(image: np.ndarray, class_ids: np.ndarray,
       gt_masks     [max_gt, mh, mw] mini-masks in each box's own frame
     """
     if max_gt is None:
-        # config.MAX_GT_INSTANCES (config.py): a smaller cap silently
-        # drops instances AND mislabels their anchors as negatives
         max_gt = config.max_gt_instances
     # resize_image goes through PIL, which needs uint8 for RGB
     molded, window, scale = resize_image(
@@ -78,18 +80,27 @@ def mold_gt_example(image: np.ndarray, class_ids: np.ndarray,
             m, [ys.min(), xs.min(), ys.max() + 1, xs.max() + 1],
             mini_shape))
 
-    n = min(len(ids), max_gt)
+    # RPN targets from the FULL GT set: the reference builds them before
+    # any MAX_GT_INSTANCES subsampling (model.py:1384-1394), so anchors
+    # over instances dropped from the head arrays are still positives —
+    # truncating first would train the RPN to suppress real objects.
+    bpx_all = (np.stack(boxes_px) if boxes_px
+               else np.zeros((0, 4), np.float32))
+    rpn_match, rpn_bbox = build_rpn_targets(anchors, bpx_all, config)
+
+    # Head arrays: random sub-sample past max_gt (model.py:1388-1394
+    # np.random.choice without replacement), zero-padded to fixed shape.
+    keep = np.arange(len(ids))
+    if len(ids) > max_gt:
+        keep = (rng or np.random).choice(len(ids), max_gt, replace=False)
+    n = len(keep)
     gt_ids = np.zeros((max_gt,), np.int32)
     gt_boxes = np.zeros((max_gt, 4), np.float32)
     gt_masks = np.zeros((max_gt,) + tuple(mini_shape), np.float32)
-    bpx = np.zeros((0, 4), np.float32)
     if n:
-        bpx = np.stack(boxes_px[:n])
-        gt_ids[:n] = np.asarray(ids[:n], np.int32)
-        gt_boxes[:n] = bpx / np.asarray([H, W, H, W], np.float32)
-        gt_masks[:n] = np.stack(minis[:n])
-
-    rpn_match, rpn_bbox = build_rpn_targets(anchors, bpx, config)
+        gt_ids[:n] = np.asarray(ids, np.int32)[keep]
+        gt_boxes[:n] = bpx_all[keep] / np.asarray([H, W, H, W], np.float32)
+        gt_masks[:n] = np.stack(minis)[keep]
     return {
         "image": molded.astype(np.float32),
         "rpn_match": rpn_match.astype(np.int32),

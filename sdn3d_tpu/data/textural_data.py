@@ -209,6 +209,13 @@ class TexturalVKittiDataset:
         if not self.rels:
             raise FileNotFoundError(
                 f"no frames with rgb+segm under {data_root} / {segm_dir}")
+        # Depth conditioning is a DATASET-level property: deciding per
+        # frame would flip the 'depth' key in and out of the batch pytree
+        # (forcing jit retraces of the train steps mid-run, and crashing
+        # feat_depth=True on a depth-less batch).
+        self.with_depth = all(os.path.exists(os.path.join(
+            geo_dir, rel.replace(".png", "-depth.png")))
+            for rel in self.rels)
 
     def __len__(self):
         return len(self.rels)
@@ -249,11 +256,10 @@ class TexturalVKittiDataset:
                 * 255.0).astype(np.int32)[..., 0]
 
         inst_path = os.path.join(self.geo_dir, rel)
+        inst = None
         if os.path.exists(inst_path):
             inst = (t(Image.open(inst_path), nearest=True, normalize=False)
                     * 255.0).astype(np.int32)[..., 0]
-        else:
-            inst = np.zeros_like(segm)
         json_path = inst_path.replace(".png", ".json")
         json_obj = {}
         if os.path.exists(json_path):
@@ -266,13 +272,23 @@ class TexturalVKittiDataset:
                        normalize=False) * 255.0
         depth = None
         dpath = inst_path.replace(".png", "-depth.png")
-        if os.path.exists(dpath):
+        if self.with_depth and os.path.exists(dpath):
             # I;16 PNG: transform_image's /255 is undone to recover the
             # raw uint16 values save_outputs wrote (clip(d,0,1)*65535)
             depth = (t(Image.open(dpath), nearest=True, normalize=False)
                      * 255.0).astype(np.float32)[..., 0]
 
-        maps = assemble_train_maps(segm, inst, json_obj, normal, depth)
+        maps = assemble_train_maps(
+            segm, inst if inst is not None else np.zeros_like(segm),
+            json_obj, normal, depth)
+        if inst is None:
+            # FileNotFoundError fallback (vkitti_dataset.py:87-88):
+            # inst = the (+1-shifted) label tensor, and the label keeps
+            # its car/van ids (the reference raises before the
+            # 2/12 -> 5 remap)
+            shifted = (segm.astype(np.int32) + 1)
+            maps["label"] = shifted
+            maps["inst"] = shifted
         slots, _ = dense_instance_slots(maps["inst"], self.max_instances)
         out = {
             "label": maps["label"],

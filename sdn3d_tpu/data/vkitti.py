@@ -82,21 +82,22 @@ def get_lists(opt: str) -> List[str]:
 def decode_scenegt(img_rgb: np.ndarray, world: str, scene: str,
                    table: Dict) -> np.ndarray:
     """scenegt RGB png [H, W, 3] -> id map [H, W] int32 via the lookup
-    table (vectorized; the reference uses np.apply_along_axis,
-    semantic/vkitti_dataset.py:120)."""
+    table (the reference walks every pixel with np.apply_along_axis,
+    semantic/vkitti_dataset.py:120).  The LUT walk runs in the native
+    host library when built (data/native.py scenegt_decode; one pass,
+    no temporaries), with a vectorized numpy fallback."""
+    from sdn3d_tpu.data import native
+
     keys = {}
     for (w, s, r, g, b), v in table.items():
         if w == world and s == scene:
             keys[(r << 16) | (g << 8) | b] = v
-    flat = (img_rgb[..., 0].astype(np.int32) << 16) \
-        | (img_rgb[..., 1].astype(np.int32) << 8) \
-        | img_rgb[..., 2].astype(np.int32)
-    lut_keys = np.asarray(sorted(keys))
-    lut_vals = np.asarray([keys[k] for k in sorted(keys)], np.int32)
-    idx = np.searchsorted(lut_keys, flat.ravel())
-    idx = np.clip(idx, 0, len(lut_keys) - 1)
-    vals = np.where(lut_keys[idx] == flat.ravel(), lut_vals[idx], -1)
-    return vals.reshape(flat.shape).astype(np.int32)
+    if not keys:
+        return np.full(img_rgb.shape[:2], -1, np.int32)
+    lut_keys = np.asarray(sorted(keys), np.uint32)
+    lut_vals = np.asarray([keys[int(k)] for k in lut_keys], np.int32)
+    return native.scenegt_decode(img_rgb.astype(np.uint8), lut_keys,
+                                 lut_vals)
 
 
 def rgb_path(root: str, world: str, topic: str, frame: int) -> str:

@@ -102,3 +102,44 @@ def test_detect_train_cli_synthetic(tmp_path):
           "--num_iters", "2", "--num_epochs", "1", "--save_every", "1",
           "--ckpt_dir", ck])
     assert os.path.isdir(ck)
+
+
+def test_rpn_targets_from_full_gt(anchors):
+    """RPN targets must be built BEFORE the max_gt head truncation
+    (model.py:1384-1394): anchors over dropped instances stay positive."""
+    H = W = 128
+    img = np.zeros((H, W, 3), np.float32)
+    masks, ids = [], []
+    # 3 well-separated boxes; max_gt=2 forces a head subsample
+    for y1, x1 in [(8, 8), (8, 72), (72, 8)]:
+        m = np.zeros((H, W), np.float32)
+        m[y1:y1 + 40, x1:x1 + 40] = 1.0
+        masks.append(m)
+        ids.append(1)
+    # build_rpn_targets subsamples pos/neg anchors via np.random
+    # (model.py:1268-1282) — seed identically so only max_gt differs
+    np.random.seed(7)
+    ex = mold_gt_example(img, np.asarray(ids, np.int32), np.stack(masks),
+                         CFG, anchors, max_gt=2,
+                         rng=np.random.RandomState(0))
+    np.random.seed(7)
+    full = mold_gt_example(img, np.asarray(ids, np.int32), np.stack(masks),
+                           CFG, anchors, max_gt=3)
+    # identical RPN targets regardless of the head truncation
+    np.testing.assert_array_equal(ex["rpn_match"], full["rpn_match"])
+    np.testing.assert_array_equal(ex["rpn_bbox"], full["rpn_bbox"])
+    # heads carry exactly max_gt instances
+    assert (ex["gt_class_ids"] > 0).sum() == 2
+    assert (full["gt_class_ids"] > 0).sum() == 3
+
+
+def test_minimize_mask_bilinear_threshold():
+    """utils.py:356: bilinear resize then >= 128 threshold — a diagonal
+    half-plane mask keeps a smooth boundary (nearest would jagger it and
+    shift area)."""
+    m = np.zeros((64, 64), np.float32)
+    yy, xx = np.mgrid[:64, :64]
+    m[yy + xx < 64] = 1.0
+    mini = minimize_mask(m, [0, 0, 64, 64], (56, 56))
+    # bilinear + threshold keeps the half-plane area within 2%
+    assert abs(mini.mean() - 0.5) < 0.02

@@ -60,3 +60,26 @@ def test_nms_cpu_matches_device_nms():
         keep_native = native.nms_cpu(boxes, thr)
         keep_device = np.asarray(nms(jnp.asarray(boxes), thr))
         np.testing.assert_array_equal(keep_native, keep_device)
+
+
+def test_crop_square_resize_roi_outside_image():
+    """A ROI fully outside the image must yield pure fill (the C path
+    previously took memcpy with a negative, size_t-wrapped length)."""
+    from sdn3d_tpu.data import native
+
+    img = np.random.RandomState(0).rand(40, 60, 3).astype(np.float32)
+    for roi in [(10, -50, 20, -40), (-30, 10, -20, 20), (50, 70, 60, 90)]:
+        out = native.crop_square_resize(img, np.asarray(roi, np.int32), 16,
+                                        fill=0.5)
+        # (0.5 - mean) / std with defaults = exactly 0 everywhere
+        np.testing.assert_allclose(out, 0.0, atol=1e-6)
+
+
+def test_decode_scenegt_no_table_entries():
+    """A (world, scene) with no LUT rows returns an all -1 id map
+    instead of raising on the empty searchsorted."""
+    from sdn3d_tpu.data.vkitti import decode_scenegt
+
+    img = np.zeros((4, 5, 3), np.uint8)
+    out = decode_scenegt(img, "0001", "clone", table={})
+    assert out.shape == (4, 5) and (out == -1).all()

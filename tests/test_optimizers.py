@@ -9,15 +9,20 @@ from sdn3d_tpu.core.optimizers import sparse_adam, scale_by_sparse_adam
 
 def chainer_adam_oracle(param, grads, lr, b1=0.9, b2=0.999, eps=1e-8,
                         lr_mult=1.0):
+    """Chainer AdamRule semantics: the kernel's ``lr`` input is the
+    bias-corrected property alpha*sqrt(1-b2^t)/(1-b1^t) with the GLOBAL
+    step t (chainer/optimizers/adam.py AdamRule.lr), multiplied by the
+    optional per-param ``param.lr``."""
     p = param.copy()
     m = np.zeros_like(p)
     v = np.zeros_like(p)
-    for g in grads:
+    for t, g in enumerate(grads, start=1):
+        lr_t = lr * np.sqrt(1 - b2 ** t) / (1 - b1 ** t)
         live = g != 0
         m[live] += (1 - b1) * (g[live] - m[live])
         v[live] += (1 - b2) * (g[live] ** 2 - v[live])
         v[live] = np.maximum(v[live], 0)
-        p[live] -= lr * lr_mult * m[live] / (np.sqrt(v[live]) + eps)
+        p[live] -= lr_t * lr_mult * m[live] / (np.sqrt(v[live]) + eps)
     return p
 
 
@@ -67,7 +72,7 @@ def test_per_parameter_lr_scales():
     np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-6)
 
 
-def test_update_counts():
+def test_step_count_and_frozen_moments():
     tx = scale_by_sparse_adam()
     p = {"w": jnp.zeros((4,))}
     state = tx.init(p)
@@ -75,4 +80,24 @@ def test_update_counts():
     g2 = jnp.asarray([1.0, 1.0, 0.0, 0.0])
     _, state = tx.update({"w": g1}, state, p)
     _, state = tx.update({"w": g2}, state, p)
-    assert np.asarray(state.count["w"]).tolist() == [2, 1, 1, 0]
+    # global step count (chainer t), not per-element
+    assert int(state.count) == 2
+    # element 3 never had a gradient: moments stay zero
+    assert float(state.mu["w"][3]) == 0.0
+    assert float(state.nu["w"][3]) == 0.0
+
+
+def test_lr_scales_prefix_tree():
+    """A prefix leaf scales its whole subtree (param.lr on a module)."""
+    rng = np.random.RandomState(2)
+    params = {"enc": {"k": jnp.asarray(rng.randn(2, 2), jnp.float32),
+                      "b": jnp.asarray(rng.randn(2), jnp.float32)},
+              "dec": {"k": jnp.asarray(rng.randn(2, 2), jnp.float32)}}
+    g = jax.tree_util.tree_map(lambda p: jnp.ones_like(p), params)
+    tx = sparse_adam(1e-2, lr_scales={"enc": 0.1, "dec": 1.0})
+    state = tx.init(params)
+    updates, _ = tx.update(g, state, params)
+    # identical gradients -> enc updates are exactly 0.1x the dec ones
+    np.testing.assert_allclose(np.asarray(updates["enc"]["k"]),
+                               0.1 * np.asarray(updates["dec"]["k"]),
+                               rtol=1e-6)

@@ -240,3 +240,44 @@ def test_global_encoder_odd_width():
     v = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 192, 624, 3)))
     mu, logvar = enc.apply(v, jnp.zeros((1, 192, 624, 3)))
     assert mu.shape == (1, 3) and logvar.shape == (1, 3)
+
+
+def test_missing_inst_map_falls_back_to_label(textural_fixture, tmp_path):
+    """Frames without a geometric instance PNG use inst = label with NO
+    car/van relabel (the reference's FileNotFoundError fallback,
+    vkitti_dataset.py:87-88, raises before the 2/12 -> 5 remap)."""
+    import os
+
+    from sdn3d_tpu.data.textural_data import TexturalVKittiDataset
+
+    root, segm, geo, (W, H) = textural_fixture
+    ds = TexturalVKittiDataset(root, segm, str(tmp_path / "empty_geo"),
+                               split="train", load_size=W, fine_wh=(W, H),
+                               max_instances=8)
+    s = ds[0]
+    # inst == label everywhere, and car/van labels survive (+1 shift:
+    # raw car 1 -> 2, raw van 11 -> 12 stay, no remap to 5)
+    np.testing.assert_array_equal(s["inst"], s["label"])
+    assert (s["label"] == 2).any()          # car pixels kept
+    assert (s["label"] == 12).any()         # van pixels kept
+
+
+def test_partial_depth_coverage_keeps_stable_batch_keys(textural_fixture):
+    """'depth' is a dataset-level key: with only SOME frames carrying
+    -depth.png the key must stay out of every sample, or jitted train
+    steps would retrace on a flickering batch pytree."""
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    from sdn3d_tpu.data.textural_data import TexturalVKittiDataset
+
+    root, segm, geo, (W, H) = textural_fixture
+    # give frame 0 (only) a depth map
+    d = (np.ones((H, W)) * 30000).astype(np.uint16)
+    Image.fromarray(d).save(os.path.join(geo, "0001/clone/00000-depth.png"))
+    ds = TexturalVKittiDataset(root, segm, geo, split="train",
+                               load_size=W, fine_wh=(W, H), max_instances=8)
+    assert not ds.with_depth
+    assert "depth" not in ds[0] and "depth" not in ds[1]
