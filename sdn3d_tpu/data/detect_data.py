@@ -86,7 +86,8 @@ def mold_gt_example(image: np.ndarray, class_ids: np.ndarray,
     # truncating first would train the RPN to suppress real objects.
     bpx_all = (np.stack(boxes_px) if boxes_px
                else np.zeros((0, 4), np.float32))
-    rpn_match, rpn_bbox = build_rpn_targets(anchors, bpx_all, config)
+    rpn_match, rpn_bbox = build_rpn_targets(anchors, bpx_all, config,
+                                            rng=rng)
 
     # Head arrays: random sub-sample past max_gt (model.py:1388-1394
     # np.random.choice without replacement), zero-padded to fixed shape.

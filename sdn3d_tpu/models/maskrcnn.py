@@ -464,15 +464,8 @@ class MaskRCNN(nn.Module):
         rpn_feature_maps = pyramid                      # P2..P6
         mrcnn_feature_maps = pyramid[:4]                # P2..P5
 
-        logits_l, probs_l, bbox_l = [], [], []
-        for p in rpn_feature_maps:
-            lg, pb, bb = self.rpn(p)
-            logits_l.append(lg)
-            probs_l.append(pb)
-            bbox_l.append(bb)
-        rpn_class_logits = jnp.concatenate(logits_l, axis=1)
-        rpn_probs = jnp.concatenate(probs_l, axis=1)
-        rpn_bbox = jnp.concatenate(bbox_l, axis=1)
+        rpn_class_logits, rpn_probs, rpn_bbox = self._rpn_forward(
+            rpn_feature_maps)
 
         proposals, prop_valid = proposal_layer(
             rpn_probs[0], rpn_bbox[0], anchors, cfg,
@@ -499,6 +492,19 @@ class MaskRCNN(nn.Module):
             "masks": masks,
         }
 
+    def _rpn_forward(self, feature_maps):
+        """Shared per-level RPN apply + anchor-axis concat
+        (model.py:1731-1745) for the inference and training graphs."""
+        logits_l, probs_l, bbox_l = [], [], []
+        for p in feature_maps:
+            lg, pb, bb = self.rpn(p)
+            logits_l.append(lg)
+            probs_l.append(pb)
+            bbox_l.append(bb)
+        return (jnp.concatenate(logits_l, axis=1),
+                jnp.concatenate(probs_l, axis=1),
+                jnp.concatenate(bbox_l, axis=1))
+
     def train_forward(self, images: jnp.ndarray, anchors: jnp.ndarray,
                       gt_class_ids: jnp.ndarray, gt_boxes: jnp.ndarray,
                       gt_masks: jnp.ndarray, rng: jax.Array
@@ -518,15 +524,7 @@ class MaskRCNN(nn.Module):
         pyramid = self.fpn(images, train=False)
         mrcnn_feature_maps = pyramid[:4]
 
-        logits_l, probs_l, bbox_l = [], [], []
-        for p in pyramid:
-            lg, pb, bb = self.rpn(p)
-            logits_l.append(lg)
-            probs_l.append(pb)
-            bbox_l.append(bb)
-        rpn_class_logits = jnp.concatenate(logits_l, axis=1)
-        rpn_probs = jnp.concatenate(probs_l, axis=1)
-        rpn_bbox = jnp.concatenate(bbox_l, axis=1)
+        rpn_class_logits, rpn_probs, rpn_bbox = self._rpn_forward(pyramid)
 
         proposals, prop_valid = proposal_layer(
             jax.lax.stop_gradient(rpn_probs[0]),

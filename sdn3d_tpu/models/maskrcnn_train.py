@@ -8,14 +8,13 @@ sampling becomes masked top-k selection with validity masks.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sdn3d_tpu.models.maskrcnn import MaskRCNNConfig, apply_box_deltas
-from sdn3d_tpu.ops.nms import iou_matrix
+from sdn3d_tpu.models.maskrcnn import MaskRCNNConfig
 from sdn3d_tpu.ops.roi_align import crop_and_resize
 
 
@@ -24,16 +23,21 @@ from sdn3d_tpu.ops.roi_align import crop_and_resize
 # ---------------------------------------------------------------------------
 
 def build_rpn_targets(anchors: np.ndarray, gt_boxes: np.ndarray,
-                      config: MaskRCNNConfig
+                      config: MaskRCNNConfig,
+                      rng: "np.random.RandomState" = None
                       ) -> Tuple[np.ndarray, np.ndarray]:
     """anchors [A, 4], gt_boxes [G, 4] pixel coords ->
-    (rpn_match [A] in {-1, 0, 1}, rpn_bbox [train_anchors, 4] deltas)."""
+    (rpn_match [A] in {-1, 0, 1}, rpn_bbox [train_anchors, 4] deltas).
+
+    `rng` makes the pos/neg anchor balance sampling reproducible
+    (defaults to the global np.random, the reference's behavior)."""
+    rng = rng or np.random
     rpn_match = np.zeros((anchors.shape[0],), np.int32)
     rpn_bbox = np.zeros((config.rpn_train_anchors_per_image, 4), np.float32)
     if len(gt_boxes) == 0:
         rpn_match[:] = -1
         neg = np.where(rpn_match == -1)[0]
-        keep = np.random.choice(
+        keep = rng.choice(
             neg, min(len(neg), config.rpn_train_anchors_per_image),
             replace=False)
         rpn_match[:] = 0
@@ -63,12 +67,12 @@ def build_rpn_targets(anchors: np.ndarray, gt_boxes: np.ndarray,
     ids = np.where(rpn_match == 1)[0]
     extra = len(ids) - config.rpn_train_anchors_per_image // 2
     if extra > 0:
-        rpn_match[np.random.choice(ids, extra, replace=False)] = 0
+        rpn_match[rng.choice(ids, extra, replace=False)] = 0
     ids = np.where(rpn_match == -1)[0]
     extra = len(ids) - (config.rpn_train_anchors_per_image
                         - np.sum(rpn_match == 1))
     if extra > 0:
-        rpn_match[np.random.choice(ids, extra, replace=False)] = 0
+        rpn_match[rng.choice(ids, extra, replace=False)] = 0
 
     # Deltas for positive anchors, std-normalized (model.py:1305-1324)
     ids = np.where(rpn_match == 1)[0]

@@ -11,7 +11,7 @@ backward — free via XLA autodiff of the gather formulation), lighting
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

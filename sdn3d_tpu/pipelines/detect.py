@@ -49,21 +49,24 @@ class MaskRCNNDetector:
 
         self.model = MaskRCNN(config=self.config)
         self.anchors = generate_pyramid_anchors(self.config)
-        # window is a python float tuple -> static (one compile per camera
-        # aspect; VKITTI/Cityscapes each have a single one).  Unjitted
-        # apply dispatches the whole graph op-by-op through the device
-        # relay (~seconds per frame).
-        self._apply = jax.jit(self.model.apply, static_argnums=(3,),
+        # window is a traced [4] array: it only feeds the clip in
+        # refine_detections, and keeping it dynamic means ONE compile
+        # serves every input aspect ratio (real KITTI mixes 1242x375 /
+        # 1224x370 / 1238x374; a static tuple would recompile the whole
+        # graph per aspect).  Unjitted apply dispatches the graph
+        # op-by-op through the device relay (~seconds per frame).
+        self._apply = jax.jit(self.model.apply,
                               static_argnames=("train",))
 
     def init(self, rng):
         import jax.numpy as jnp
 
         img = jnp.zeros((1,) + self.config.image_shape)
-        return self.model.init(rng, img, jnp.asarray(self.anchors),
-                               (0.0, 0.0, float(self.config.image_max_dim),
-                                float(self.config.image_max_dim)),
-                               train=False)
+        return self.model.init(
+            rng, img, jnp.asarray(self.anchors),
+            jnp.asarray([0.0, 0.0, self.config.image_max_dim,
+                         self.config.image_max_dim], jnp.float32),
+            train=False)
 
     def detect(self, variables, image_rgb: np.ndarray,
                mask_threshold: float = 0.5
@@ -81,7 +84,7 @@ class MaskRCNNDetector:
                                                         np.float32)
         out = self._apply(variables, jnp.asarray(molded[None]),
                           jnp.asarray(self.anchors),
-                          tuple(float(v) for v in window), train=False)
+                          jnp.asarray(window, jnp.float32), train=False)
 
         dets = np.asarray(out["detections"])          # [D, 6] pixel (molded)
         valid = np.asarray(out["det_valid"])

@@ -120,8 +120,7 @@ def test_rpn_targets_from_full_gt(anchors):
     # (model.py:1268-1282) — seed identically so only max_gt differs
     np.random.seed(7)
     ex = mold_gt_example(img, np.asarray(ids, np.int32), np.stack(masks),
-                         CFG, anchors, max_gt=2,
-                         rng=np.random.RandomState(0))
+                         CFG, anchors, max_gt=2)
     np.random.seed(7)
     full = mold_gt_example(img, np.asarray(ids, np.int32), np.stack(masks),
                            CFG, anchors, max_gt=3)
