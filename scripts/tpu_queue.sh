@@ -7,6 +7,7 @@
 # Usage: bash scripts/tpu_queue.sh [max_probe_hours]
 set -u
 cd "$(dirname "$0")/.."
+export PYTHONPATH="$(pwd):/root/.axon_site${PYTHONPATH:+:$PYTHONPATH}"
 MAX_H=${1:-10}
 LOG=/tmp/tpu_queue.log
 echo "$(date -u +%FT%TZ) tpu_queue start (max ${MAX_H}h probing)" >> "$LOG"
