@@ -7,7 +7,11 @@
 # Usage: bash scripts/tpu_queue.sh [max_probe_hours]
 set -u
 cd "$(dirname "$0")/.."
-export PYTHONPATH="$(pwd):/root/.axon_site${PYTHONPATH:+:$PYTHONPATH}"
+# AXON_SITE: where the machine's TPU plugin lives (skipped if absent so
+# the script stays portable to hosts without the relay plugin)
+AXON_SITE=${AXON_SITE:-/root/.axon_site}
+export PYTHONPATH="$(pwd)${PYTHONPATH:+:$PYTHONPATH}"
+[ -d "$AXON_SITE" ] && export PYTHONPATH="$PYTHONPATH:$AXON_SITE"
 MAX_H=${1:-10}
 LOG=/tmp/tpu_queue.log
 echo "$(date -u +%FT%TZ) tpu_queue start (max ${MAX_H}h probing)" >> "$LOG"
