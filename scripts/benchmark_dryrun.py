@@ -80,6 +80,17 @@ def main():
     ap.add_argument("--batch_pairs", type=int, default=1,
                     help="fused-chain pairs per device program "
                          "(cli/edit_chain --batch_pairs)")
+    ap.add_argument("--serving_matrix", action="store_true",
+                    help="run the fused chain back-to-back in THREE "
+                         "configurations — unbatched gt, batch_pairs=8 "
+                         "gt, unbatched maskrcnn (detection in-path) — "
+                         "in one session with identical cache policy, "
+                         "and write all rows + per-phase breakdowns "
+                         "into ONE artifact (reconciles the round-2 "
+                         "batched-vs-unbatched contradiction; VERDICT "
+                         "items 2+3)")
+    ap.add_argument("--phases", action="store_true",
+                    help="pass --phases to the fused chain runs")
     args = ap.parse_args()
     if args.fused_only:
         args.fused = True
@@ -115,21 +126,56 @@ def main():
         py, os.path.join(REPO, "scripts/make_vkitti_fixture.py"),
         fixture, full_json])
 
-    def run_fused(out):
+    def run_fused(out, source="gt", batch_pairs=None, key="result_fused",
+                  wall_key="fused_chain_s", limit=None):
         """Run the fused single-process chain over the fixture; record
-        result_fused + its wall-clock into `out`."""
-        fused_dir = os.path.join(work, "fused")
-        fused_s = run(module_cmd(
-            py, "sdn3d_tpu.cli.edit_chain", [
-                "--edit_json", full_json, "--data_root", fixture,
-                "--shapenet_root", "/root/reference/geometric/assets",
-                "--source", "gt", "--results_dir", fused_dir,
-                "--batch_pairs", str(args.batch_pairs),
-                "--compute_dtype", args.compute_dtype], args.platform))
+        its result row + wall-clock into `out`."""
+        fused_dir = os.path.join(work, "fused_" + key)
+        cmd = [
+            "--edit_json", full_json, "--data_root", fixture,
+            "--shapenet_root", "/root/reference/geometric/assets",
+            "--source", source, "--results_dir", fused_dir,
+            "--batch_pairs", str(batch_pairs or args.batch_pairs),
+            "--compute_dtype", args.compute_dtype]
+        if args.phases:
+            cmd.append("--phases")
+        if limit:
+            cmd += ["--limit", str(limit)]
+        fused_s = run(module_cmd(py, "sdn3d_tpu.cli.edit_chain", cmd,
+                                 args.platform))
         with open(os.path.join(fused_dir, "benchmark.json")) as f:
-            out["result_fused"] = json.load(f)
-        out.setdefault("stage_wall_s", {})["fused_chain_s"] = round(
-            fused_s, 2)
+            out[key] = json.load(f)
+        out.setdefault("stage_wall_s", {})[wall_key] = round(fused_s, 2)
+
+    if args.serving_matrix:
+        out = {"pairs": n_pairs, "stage_wall_s": {}}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                out = json.load(f)
+        # three rows, one session, identical cache policy: each run is a
+        # fresh process paying its own jit compiles (steady_s_per_pair
+        # excludes the compile chunk in every row, so rows compare
+        # like-for-like)
+        run_fused(out, source="gt", batch_pairs=1,
+                  key="result_fused", wall_key="fused_chain_s")
+        run_fused(out, source="gt", batch_pairs=8,
+                  key="result_fused_batched8",
+                  wall_key="fused_batched8_chain_s")
+        run_fused(out, source="maskrcnn", batch_pairs=1,
+                  key="result_fused_maskrcnn",
+                  wall_key="fused_maskrcnn_chain_s")
+        out["serving_matrix_note"] = (
+            "all three fused rows measured back-to-back in one "
+            "serving_matrix invocation on the same device; gt rows "
+            "differ only in --batch_pairs; the maskrcnn row runs "
+            "Mask R-CNN detection in-path per source frame "
+            "(keep-<=16-largest, scripts/main.py:812-818) with random "
+            "detector weights — protocol/timing-honest, not "
+            "quality-meaningful")
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=2)
+        print(json.dumps(out, indent=2))
+        return
 
     if args.fused_only:
         out = {"pairs": n_pairs, "stage_wall_s": {}}

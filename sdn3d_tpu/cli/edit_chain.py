@@ -56,6 +56,11 @@ def build_argparser():
     p.add_argument("--fine_height", type=int, default=192)
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--phases", action="store_true",
+                   help="record a per-phase wall-clock + transfer-byte "
+                        "breakdown (utils/phases.py) into the result "
+                        "JSON; adds block_until_ready barriers between "
+                        "phases, so use for attribution, not headlines")
     p.add_argument("--lpips_ckpt", default=None,
                    help="ported LPIPS checkpoint (.pth, official lpips "
                         "package layout); without it the LPIPS column "
@@ -74,6 +79,9 @@ def main(argv=None):
     from sdn3d_tpu.utils.visualizer import HTMLGallery, tensor2im
 
     args = build_argparser().parse_args(argv)
+    if args.phases:
+        from sdn3d_tpu.utils import phases
+        phases.reset(True)
     cfg = ChainConfig(scales=tuple(args.scales), image_size=args.image_size,
                       render_size=args.render_size, num_opts=args.num_opts,
                       mode=args.mode, load_size=args.load_size,
@@ -181,6 +189,8 @@ def main(argv=None):
         steady = tail_s / tail_pairs
         result["steady_s_per_pair"] = steady
         result["steady_edits_per_sec"] = 1.0 / steady
+    if args.phases:
+        result["phase_breakdown"] = phases.snapshot()
     os.makedirs(args.results_dir, exist_ok=True)
     with open(os.path.join(args.results_dir, "benchmark.json"), "w") as f:
         json.dump(result, f, indent=2)

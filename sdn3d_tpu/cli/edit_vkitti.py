@@ -89,9 +89,16 @@ def assemble_edit_conditioning(trainer, state, base_img_t, base_label,
                                inst_img, json_obj, normal_img, wh, args,
                                feats=None):
     """Host-side conditioning assembly for one edit frame: transformed
-    maps + instance slots + the source-code feature splat, as numpy —
+    maps + instance slots + the per-slot source-code table, as numpy —
     ready to stack into a generation batch.  Returns (maps, slots,
-    feat_map)."""
+    feat_table, normal_u8): `feat_table` [max_instances, feat] holds each
+    target slot's source code (zeros when the source has no matching
+    instance id); expanding it through `slots` on device reproduces the
+    reference's per-pixel splat exactly (edit_vkitti.py:99-105 — a gather
+    of the same f32 codes) while uploading ~1 KB instead of a
+    [H, W, feat] float map over the ~70 MB/s relay.  `normal_u8` is the
+    raw resized normal PNG (uint8), normalized on device by
+    fake_inference with assemble_condition_maps' exact math."""
     import jax.numpy as jnp
 
     from sdn3d_tpu.data.textural_data import (
@@ -108,10 +115,15 @@ def assemble_edit_conditioning(trainer, state, base_img_t, base_label,
 
     maps = assemble_condition_maps(base_label, inst_png, json_obj,
                                    normal_png)
-    if "normal" not in maps:
+    if normal_png is not None:
+        # PIL resizes uint8 images in uint8, so these floats are
+        # integer-valued: the uint8 cast is lossless
+        normal_u8 = normal_png.astype(np.uint8)
+    else:
         maps["normal"] = np.zeros(base_img_t.shape, np.float32)
+        normal_u8 = np.zeros(base_img_t.shape, np.uint8)
 
-    # source texture codes, splatted by target instance ids
+    # source texture codes, by target instance id
     cfg = trainer.cfg
     slots, mapping = dense_instance_slots(maps["inst"], cfg.max_instances)
     if feats is None:
@@ -131,12 +143,12 @@ def assemble_edit_conditioning(trainer, state, base_img_t, base_label,
     np.add.at(sums, seg, flat)
     counts = np.bincount(seg, minlength=cfg.max_instances).astype(np.float32)
     means_np = sums / np.maximum(counts[:, None], 1.0)
-    feat_map = np.zeros(maps["inst"].shape + (cfg.feat_num,), np.float32)
+    feat_table = np.zeros((cfg.max_instances, cfg.feat_num), np.float32)
     for inst_id, slot in mapping.items():
         src_slot = src_mapping.get(inst_id)
         if src_slot is not None:
-            feat_map[maps["inst"] == inst_id] = means_np[src_slot]
-    return maps, slots, feat_map
+            feat_table[slot] = means_np[src_slot]
+    return maps, slots, feat_table, normal_u8
 
 
 def generate_edit_from_images(trainer, state, base_img_t, base_label,
@@ -169,24 +181,47 @@ def generate_edit_batch(trainer, state, items, wh, args):
     Returns (list of [H, W, 3] fakes, list of condition-map dicts)."""
     import jax.numpy as jnp
 
-    assembled = [
-        assemble_edit_conditioning(
-            trainer, state, it["base_img_t"], it["base_label"],
-            it["inst_img"], it["json_obj"], it.get("normal_img"), wh,
-            args, feats=it.get("feats"))
-        for it in items]
-    batch = {
-        "label": jnp.asarray(np.stack([m["label"] for m, _, _ in assembled])),
-        "inst": jnp.asarray(np.stack([m["inst"] for m, _, _ in assembled])),
-        "inst_slots": jnp.asarray(np.stack([s for _, s, _ in assembled])),
-        "image": jnp.asarray(np.stack([it["base_img_t"] for it in items])),
-        "pose": jnp.asarray(np.stack([m["pose"] for m, _, _ in assembled])),
-        "normal": jnp.asarray(np.stack(
-            [m["normal"].astype(np.float32) for m, _, _ in assembled])),
-    }
-    feat_maps = jnp.asarray(np.stack([f for _, _, f in assembled]))
-    fakes = np.asarray(trainer.fake_inference_jit(state, batch, feat_maps))
-    return list(fakes), [m for m, _, _ in assembled]
+    from sdn3d_tpu.utils import phases
+
+    with phases.phase("tex.assemble"):
+        assembled = [
+            assemble_edit_conditioning(
+                trainer, state, it["base_img_t"], it["base_label"],
+                it["inst_img"], it["json_obj"], it.get("normal_img"), wh,
+                args, feats=it.get("feats"))
+            for it in items]
+    with phases.phase("tex.upload"):
+        # Conditioning ships in the smallest lossless dtypes (label ids
+        # <= 14, pose bins <= 24, slots < max_instances, normal = raw
+        # PNG bytes); fake_inference widens/normalizes on device with
+        # identical math.  The source image is only an input when the
+        # global encoder consumes it — skipping it saves a [B, H, W, 3]
+        # f32 upload per chunk.
+        batch = {
+            "label": jnp.asarray(np.stack(
+                [m["label"] for m, _, _, _ in assembled]
+                ).astype(np.uint8)),
+            "inst": jnp.asarray(np.stack(
+                [m["inst"] for m, _, _, _ in assembled])),
+            "inst_slots": jnp.asarray(np.stack(
+                [s for _, s, _, _ in assembled]).astype(np.uint8)),
+            "pose": jnp.asarray(np.stack(
+                [m["pose"] for m, _, _, _ in assembled]).astype(np.uint8)),
+            "normal": jnp.asarray(np.stack(
+                [n for _, _, _, n in assembled])),
+        }
+        if trainer.cfg.use_global_encoder:
+            batch["image"] = jnp.asarray(np.stack(
+                [it["base_img_t"] for it in items]))
+        feat_tables = jnp.asarray(np.stack(
+            [f for _, _, f, _ in assembled]))
+        phases.block((batch, feat_tables))
+        phases.add_bytes("tex.upload", feat_tables, *batch.values())
+    with phases.phase("tex.generate"):
+        fakes = np.asarray(
+            trainer.fake_inference_jit(state, batch, feat_tables))
+        phases.add_bytes("tex.generate", fakes)
+    return list(fakes), [m for m, _, _, _ in assembled]
 
 
 def generate_edit_frame(trainer, state, base_img_t, base_label,

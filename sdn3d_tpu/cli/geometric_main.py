@@ -120,16 +120,29 @@ def quantize_normal_map(nrm: np.ndarray) -> np.ndarray:
 
 
 def save_outputs(out: dict, output_dir: str, name: str) -> None:
-    """The inter-branch filesystem contract (scripts/main.py:530-622)."""
+    """The inter-branch filesystem contract (scripts/main.py:530-622).
+
+    derender_image quantizes ON DEVICE with this exact math and ships the
+    bytes in one packed fetch (`*_png` keys); fall back to host-side
+    quantization for producers that only carry the float maps."""
     from PIL import Image
 
     os.makedirs(output_dir, exist_ok=True)
-    Image.fromarray(quantize_instance_map(out["instance_map"])).save(
+    inst_png = out.get("instance_png")
+    if inst_png is None:
+        inst_png = quantize_instance_map(np.asarray(out["instance_map"]))
+    nrm_png = out.get("normal_png")
+    if nrm_png is None:
+        nrm_png = quantize_normal_map(np.asarray(out["normal_map"]))
+    dep_png = out.get("depth_png")
+    if dep_png is None:
+        dep_png = (np.clip(np.asarray(out["depth_map"]), 0, 1)
+                   * 65535).astype(np.uint16)
+    Image.fromarray(inst_png).save(
         os.path.join(output_dir, f"{name}.png"))
-    Image.fromarray(quantize_normal_map(out["normal_map"])).save(
+    Image.fromarray(nrm_png).save(
         os.path.join(output_dir, f"{name}-normal.png"))
-    dep = (np.clip(out["depth_map"], 0, 1) * 65535).astype(np.uint16)
-    Image.fromarray(dep).save(          # uint16 -> I;16 (PIL infers)
+    Image.fromarray(dep_png).save(      # uint16 -> I;16 (PIL infers)
         os.path.join(output_dir, f"{name}-depth.png"))
     with open(os.path.join(output_dir, f"{name}.json"), "w") as f:
         json.dump(out["json_obj"], f, indent=4)

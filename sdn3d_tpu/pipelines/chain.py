@@ -174,9 +174,13 @@ class EditChain:
                 return cached
         t0 = time.perf_counter()
         from sdn3d_tpu.cli.semantic_test import infer_image
-        pred = infer_image(self.semantic_model, self.semantic_vars,
-                           image_rgb,
-                           SimpleNamespace(scales=tuple(self.cfg.scales)))
+        from sdn3d_tpu.utils import phases
+        with phases.phase("sem.infer"):
+            pred = infer_image(self.semantic_model, self.semantic_vars,
+                               image_rgb,
+                               SimpleNamespace(
+                                   scales=tuple(self.cfg.scales)))
+            phases.add_bytes("sem.infer", pred)
         self.stage_s["semantic"] += time.perf_counter() - t0
         if cache_key is not None:
             self._label_cache.put(cache_key, pred)
@@ -189,9 +193,11 @@ class EditChain:
             "EditChain built without a detector; pass dets= to edit_frame"
         from sdn3d_tpu.pipelines.derender_infer import \
             keep_largest_detections
+        from sdn3d_tpu.utils import phases
         det, variables = self.detector
-        return keep_largest_detections(self.infer_cfg,
-                                       *det.detect(variables, image_rgb))
+        with phases.phase("det.detect"):
+            return keep_largest_detections(
+                self.infer_cfg, *det.detect(variables, image_rgb))
 
     def derender(self, image_rgb: np.ndarray, dets,
                  operations: Optional[List[dict]] = None,
@@ -240,8 +246,8 @@ class EditChain:
 
         from sdn3d_tpu.cli.edit_vkitti import (generate_edit_from_images,
                                                prepare_source_inputs)
-        from sdn3d_tpu.cli.geometric_main import (quantize_instance_map,
-                                                  quantize_normal_map)
+
+        from sdn3d_tpu.utils import phases
 
         args, wh = self._tex_args, self._wh
         cached = (self._src_cache.get(cache_key)
@@ -249,19 +255,21 @@ class EditChain:
         if cached is not None:
             base_img_t, base_label, feats = cached
         else:
-            base_img_t, base_label, feats = prepare_source_inputs(
-                self.textural_trainer, self.textural_state,
-                Image.fromarray(image_rgb),
-                Image.fromarray(label.astype(np.uint8)),
-                args.load_size, wh)
+            with phases.phase("tex.prepare"):
+                base_img_t, base_label, feats = prepare_source_inputs(
+                    self.textural_trainer, self.textural_state,
+                    Image.fromarray(image_rgb),
+                    Image.fromarray(label.astype(np.uint8)),
+                    args.load_size, wh)
             if cache_key is not None:
                 self._src_cache.put(cache_key,
                                     (base_img_t, base_label, feats))
 
-        inst_img = Image.fromarray(
-            quantize_instance_map(geo_out["instance_map"]))
-        normal_img = Image.fromarray(
-            quantize_normal_map(geo_out["normal_map"]))
+        with phases.phase("tex.quantize"):
+            # device-quantized bytes from the packed fetch (identical to
+            # quantize_instance_map/quantize_normal_map on the float maps)
+            inst_img = Image.fromarray(geo_out["instance_png"])
+            normal_img = Image.fromarray(geo_out["normal_png"])
 
         fake, maps = generate_edit_from_images(
             self.textural_trainer, self.textural_state, base_img_t,
@@ -357,31 +365,31 @@ class EditChain:
         from PIL import Image
 
         from sdn3d_tpu.cli.edit_vkitti import prepare_source_inputs
-        from sdn3d_tpu.cli.geometric_main import (quantize_instance_map,
-                                                  quantize_normal_map)
+
+        from sdn3d_tpu.utils import phases
 
         items = []
         for r, label, geo in zip(requests, labels, geos):
             key = r.get("cache_key")
             cached = self._src_cache.get(key) if key is not None else None
             if cached is None:
-                cached = prepare_source_inputs(
-                    self.textural_trainer, self.textural_state,
-                    Image.fromarray(r["image_rgb"]),
-                    Image.fromarray(label.astype(np.uint8)),
-                    self._tex_args.load_size, self._wh)
+                with phases.phase("tex.prepare"):
+                    cached = prepare_source_inputs(
+                        self.textural_trainer, self.textural_state,
+                        Image.fromarray(r["image_rgb"]),
+                        Image.fromarray(label.astype(np.uint8)),
+                        self._tex_args.load_size, self._wh)
                 if key is not None:
                     self._src_cache.put(key, cached)
             base_img_t, base_label, feats = cached
-            items.append({
-                "base_img_t": base_img_t, "base_label": base_label,
-                "inst_img": Image.fromarray(
-                    quantize_instance_map(geo["instance_map"])),
-                "json_obj": geo["json_obj"],
-                "normal_img": Image.fromarray(
-                    quantize_normal_map(geo["normal_map"])),
-                "feats": feats,
-            })
+            with phases.phase("tex.quantize"):
+                items.append({
+                    "base_img_t": base_img_t, "base_label": base_label,
+                    "inst_img": Image.fromarray(geo["instance_png"]),
+                    "json_obj": geo["json_obj"],
+                    "normal_img": Image.fromarray(geo["normal_png"]),
+                    "feats": feats,
+                })
         fakes, maps_list = generate_edit_batch(
             self.textural_trainer, self.textural_state, items, self._wh,
             self._tex_args)

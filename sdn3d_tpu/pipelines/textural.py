@@ -384,7 +384,15 @@ class TexturalTrainer:
         encoder on the given image.  With use_global_encoder the z sample
         is drawn from the image's posterior — the reference samples eps at
         inference too (pix2pixHD_model.py:265-271); pass rng=None to use the
-        posterior mean instead."""
+        posterior mean instead.
+
+        Serving-path compression (the TPU relay uploads at ~70 MB/s, so
+        conditioning bytes are wall-clock): `feat_map` may be a per-slot
+        TABLE [B, max_instances, feat] expanded on device through
+        batch["inst_slots"] (bit-identical to the host splat — a gather
+        of the same f32 codes), and batch["normal"] may arrive as the
+        raw uint8 PNG bytes, normalized here with assemble_condition_maps'
+        exact math."""
         c = self.cfg
         input_label = encode_input(c, batch["label"], batch["inst"])
         if feat_map is None:
@@ -392,9 +400,18 @@ class TexturalTrainer:
                                     batch["image"])
             feat_map = instance_average(feats, batch["inst_slots"],
                                         c.max_instances)
+        elif feat_map.ndim == 3:            # [B, max_instances, feat]
+            feat_map = jax.vmap(lambda t, s: t[s])(
+                feat_map, batch["inst_slots"])
+        normal = batch.get("normal")
+        if normal is not None and normal.dtype == jnp.uint8:
+            # uint8 PNG bytes -> assemble_condition_maps' normalization
+            # (textural_data.py: (x/255 - 0.5)/0.5 + 1/255), same f32 ops
+            normal = (normal.astype(jnp.float32) / 255.0 - 0.5) / 0.5 \
+                + 1.0 / 255.0
         g_in = assemble_generator_input(
             c, input_label, feat_map, batch.get("pose"),
-            batch.get("normal"), batch.get("depth"))
+            normal, batch.get("depth"))
         if c.use_global_encoder:
             g_in, _, _ = self._append_global_z(state.params_ge, g_in,
                                                batch["image"], rng)
