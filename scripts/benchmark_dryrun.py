@@ -34,6 +34,10 @@ def run(cmd, env=None):
           flush=True)
     e = dict(os.environ)
     e["PYTHONPATH"] = REPO + os.pathsep + e.get("PYTHONPATH", "")
+    # persistent XLA compilation cache: the serving-matrix rows re-run
+    # the same programs in fresh processes; without this every row pays
+    # the full multi-minute jit compile chunk again
+    e.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sdn3d_jax_cache")
     if env:
         e.update(env)
     t0 = time.perf_counter()

@@ -35,10 +35,23 @@ def build_argparser():
                    default=os.environ.get("SHAPENET_ROOT_DIR"))
     p.add_argument("--synthetic", action="store_true",
                    help="synthetic mesh bank + random batches (smoke mode)")
+    p.add_argument("--dataset",
+                   choices=["vkitti", "kitti", "cityscapes"],
+                   default="vkitti",
+                   help="training corpus; selection by (dataset, mode) "
+                        "mirrors derender3d/data_loader.py:43-82 incl. "
+                        "the kitti-full weighted hybrid and the "
+                        "cityscapes 0.75/0.25 vkitti mix")
     p.add_argument("--vkitti_root",
                    default=os.environ.get("VKITTI_ROOT_DIR"),
                    help="train on real VKITTI per-object items (threaded "
                         "prefetch loader); otherwise synthetic batches")
+    p.add_argument("--kitti_object_root",
+                   default=os.environ.get("KITTI_OBJECT_ROOT_DIR"))
+    p.add_argument("--kitti_semantics_root",
+                   default=os.environ.get("KITTI_SEMANTICS_ROOT_DIR"))
+    p.add_argument("--cityscapes_root",
+                   default=os.environ.get("CITYSCAPES_ROOT_DIR"))
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--grad_walk", type=int, default=64)
     return p
@@ -92,22 +105,35 @@ def main(argv=None):
 
     mesh = make_mesh_for_batch(args.batch_size)
 
+    have_real_data = ((args.dataset == "vkitti" and args.vkitti_root)
+                      or (args.dataset == "kitti"
+                          and (args.kitti_object_root
+                               or args.kitti_semantics_root))
+                      or (args.dataset == "cityscapes"
+                          and args.cityscapes_root))
+
     def batches():
-        """Real VKITTI per-object stream (prefetch loader) or synthetic."""
-        if args.vkitti_root and not args.synthetic:
-            import random as _random
+        """Real per-object stream (dataset picked by (dataset, mode) per
+        the reference's data_loader) or synthetic smoke batches."""
+        if have_real_data and not args.synthetic:
             from sdn3d_tpu.data.loader import PrefetchLoader
-            from sdn3d_tpu.data.vkitti_derender import VKittiDerenderDataset
+            from sdn3d_tpu.data.select import select_derender_dataset
             from sdn3d_tpu.parallel import batch_sharding
 
-            ds = VKittiDerenderDataset(
-                args.vkitti_root, is_train=True,
-                image_size=args.image_size, render_size=args.render_size,
-                jitter_rng=_random.Random(0))
-            print(f"VKITTI derender dataset: {len(ds)} objects")
+            ds, sampler = select_derender_dataset(
+                args.dataset, mode,
+                vkitti_root=args.vkitti_root,
+                kitti_object_root=args.kitti_object_root,
+                kitti_semantics_root=args.kitti_semantics_root,
+                cityscapes_root=args.cityscapes_root,
+                is_train=True, image_size=args.image_size,
+                render_size=args.render_size)
+            print(f"{args.dataset} derender dataset: {len(ds)} objects"
+                  + (" (weighted hybrid sampler)" if sampler else ""))
             it = 0
             while it < args.num_iters:
                 loader = PrefetchLoader(ds, args.batch_size,
+                                        sampler=sampler,
                                         num_workers=args.num_workers,
                                         sharding=batch_sharding(mesh),
                                         seed=it)

@@ -52,16 +52,16 @@ def load_model(args):
 
 
 def infer_image(model, variables, image_rgb: np.ndarray, args) -> np.ndarray:
-    from sdn3d_tpu.pipelines.semantic import multiscale_labels
+    """uint8 RGB frame -> uint8 label map.  The exact reference
+    normalization (vkitti_dataset.py:43-44,152 — BGR order, ImageNet
+    means x255, stds in 0..1 scale) happens INSIDE the fused device
+    program with the same f32 ops the old host path used; one dispatch +
+    uint8-only transfers per frame."""
+    from sdn3d_tpu.pipelines.semantic import multiscale_labels_fused
 
-    # Exact reference normalization (vkitti_dataset.py:43-44,152):
-    # BGR order, ImageNet means x255, stds in 0..1 scale.
-    from sdn3d_tpu.data.semantic_data import MEAN_BGR, STD_BGR
-    img = image_rgb.astype(np.float32)[:, :, ::-1]
-    img = (img - np.asarray(MEAN_BGR, np.float32)) / np.asarray(
-        STD_BGR, np.float32)
-    return multiscale_labels(variables, model, img,
-                             scales=tuple(args.scales))
+    return multiscale_labels_fused(variables, model,
+                                   np.ascontiguousarray(image_rgb),
+                                   scales=tuple(args.scales))
 
 
 def main(argv=None):

@@ -108,6 +108,7 @@ class KittiObjectDataset:
 
     root_dir: str
     is_train: bool = True
+    image_size: int = 224
 
     def __post_init__(self):
         frames = TRAIN_FRAMES if self.is_train else VALIDATION_FRAMES
@@ -140,7 +141,8 @@ class KittiObjectDataset:
             from PIL import Image
             from sdn3d_tpu.data.vkitti import transform_rgb
             image_rgb = np.asarray(Image.open(rgb_path))
-            out["images"] = transform_rgb(image_rgb, out["rois"])
+            out["images"] = transform_rgb(image_rgb, out["rois"],
+                                          image_size=self.image_size)
         return out
 
 

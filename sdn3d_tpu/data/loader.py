@@ -41,6 +41,30 @@ def zero_fill_collate(items: Sequence[Dict[str, np.ndarray]]
     return out
 
 
+class HybridDataset:
+    """Weighted concat of datasets (derender3d/datasets.py:175-190):
+    indexable like one dataset; get_weights() yields the per-item
+    WeightedRandomSampler weights (weight_ds / len_ds per item)."""
+
+    def __init__(self, datasets, weights=None):
+        self.datasets = list(datasets)
+        self.weights = list(weights) if weights is not None \
+            else [1.0] * len(self.datasets)
+        self._offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def __len__(self) -> int:
+        return int(self._offsets[-1])
+
+    def __getitem__(self, index: int):
+        i = int(np.searchsorted(self._offsets, index, side="right") - 1)
+        return self.datasets[i][int(index - self._offsets[i])]
+
+    def get_weights(self) -> np.ndarray:
+        from sdn3d_tpu.data.kitti import hybrid_weights
+        return hybrid_weights([len(d) for d in self.datasets],
+                              self.weights)
+
+
 class WeightedSampler:
     """Infinite with-replacement weighted index stream
     (torch WeightedRandomSampler semantics)."""

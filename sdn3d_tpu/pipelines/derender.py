@@ -93,7 +93,12 @@ class DerenderTrainer:
         targets = batch["targets"]
         loss = {}
 
-        if self.mode & TargetType.geometry:
+        # Key presence gates are trace-time (static per batch schema):
+        # single-source datasets carry only their own loss family's
+        # targets (e.g. kitti+extend = KittiObject items with geometry
+        # targets but no masks, data_loader.py:50-52) — the hybrid
+        # datasets' zero-fill collate provides both families.
+        if self.mode & TargetType.geometry and "thetas" in batch:
             is_geo = (targets & TargetType.pretrain) > 0
             theta_deltas_gt = jnp.concatenate(
                 [jnp.cos(batch["thetas"]), jnp.sin(batch["thetas"])], axis=1)
@@ -106,7 +111,7 @@ class DerenderTrainer:
             loss["depth_loss"] = masked_mse(
                 blob["_log_depths"], batch["log_depths"], is_geo)
 
-        if self.mode & TargetType.reproject:
+        if self.mode & TargetType.reproject and "masks" in batch:
             is_rep = (targets & TargetType.finetune) > 0
             masks_gt = batch["masks"]
             ignores = batch["ignores"]

@@ -313,6 +313,13 @@ def derender_encode(
             blob = phases.block(refine_silhouettes(
                 blob, bank, jnp.asarray(objs["masks"]),
                 jnp.asarray(ign[:, None]), cfg))
+    # Fetch the (small, ~150 KB total) encoder outputs to host ONCE per
+    # source: the edit/replay path does host-side op matching over them
+    # per PAIR (pipelines/edit.py), and each np.asarray of a device
+    # field costs a ~50 ms relay round-trip — per pair, that was the
+    # single biggest geometric phase after the render itself.
+    with phases.phase("geo.encode"):
+        blob = jax.device_get(blob)
     return objs, blob
 
 

@@ -46,14 +46,17 @@ def apply_operations(blob: Dict[str, jnp.ndarray], interests: np.ndarray,
                      camera=Camera) -> Tuple[Dict[str, jnp.ndarray], np.ndarray]:
     """Apply modify/delete ops to the de-rendered state (main.py:485-514).
 
-    Returns (updated blob, updated interests).  Host-side control (the op
-    list is tiny and per-image), device-side arrays.
+    Returns (updated blob, updated interests).  Pure host numpy: the op
+    list is tiny and per-image, and the encode blob arrives as host
+    arrays (derender_encode fetches it once per source) — doing the
+    per-pair rewrites in numpy avoids any device round-trip on the
+    edit/replay path.
     """
-    theta_deltas = blob["_theta_deltas"]
-    translation2ds = blob["_translation2ds"]
-    log_depths = blob["_log_depths"]
-    mroi = blob["_mroi_norms"]
-    droi = blob["_droi_norms"]
+    theta_deltas = np.array(blob["_theta_deltas"])
+    translation2ds = np.array(blob["_translation2ds"])
+    log_depths = np.array(blob["_log_depths"])
+    mroi = np.asarray(blob["_mroi_norms"])
+    droi = np.asarray(blob["_droi_norms"])
     interests = interests.copy()
 
     for index_obj, index_op in pairs:
@@ -68,25 +71,24 @@ def apply_operations(blob: Dict[str, jnp.ndarray], interests: np.ndarray,
             zoom = float(op["zoom"])
             ry = float(op["ry"])
 
-            center = jnp.asarray([(v - camera.v0) / camera.focal,
-                                  (u - camera.u0) / camera.focal],
-                                 jnp.float32)
+            center = np.asarray([(v - camera.v0) / camera.focal,
+                                 (u - camera.u0) / camera.focal],
+                                np.float32)
             t2d = (center - mroi[index_obj]) / droi[index_obj]
             ld = log_depths[index_obj] - 2.0 * np.log(zoom)
 
             cos_r, sin_r = np.cos(-ry), np.sin(-ry)
             tc, ts = theta_deltas[index_obj, 0], theta_deltas[index_obj, 1]
-            td = jnp.stack([tc * cos_r - ts * sin_r,
-                            ts * cos_r + tc * sin_r])
-
-            theta_deltas = theta_deltas.at[index_obj].set(td)
-            translation2ds = translation2ds.at[index_obj].set(t2d)
-            log_depths = log_depths.at[index_obj].set(ld)
+            # in-place row assignment casts back to the blob's dtype
+            theta_deltas[index_obj] = np.stack([tc * cos_r - ts * sin_r,
+                                                ts * cos_r + tc * sin_r])
+            translation2ds[index_obj] = t2d
+            log_depths[index_obj] = ld
 
     out = dict(blob)
-    out["_theta_deltas"] = jax.lax.stop_gradient(theta_deltas)
-    out["_translation2ds"] = jax.lax.stop_gradient(translation2ds)
-    out["_log_depths"] = jax.lax.stop_gradient(log_depths)
+    out["_theta_deltas"] = theta_deltas
+    out["_translation2ds"] = translation2ds
+    out["_log_depths"] = log_depths
     return out, interests
 
 

@@ -141,6 +141,55 @@ def _jitted_scale_apply(model: SemanticModel, nh8: int, nw8: int,
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_multiscale_label(model: SemanticModel, sizes: tuple,
+                             seg_h: int, seg_w: int):
+    """ALL eval scales + normalization + softmax-mean + argmax in ONE
+    device program over the raw uint8 RGB frame.
+
+    The serving chain runs against a relay-attached TPU (~50 ms per
+    dispatch fetch); the per-scale jit loop costs 5 dispatches plus a
+    float image upload per frame.  This program takes the uint8 frame
+    (3x fewer upload bytes; the BGR + mean/std normalization happens
+    here with infer_image's exact f32 ops) and returns only the uint8
+    argmax labels.  Same math as multiscale_probs_device + argmax —
+    pinned by tests/test_models.py semantic protocol parity."""
+    from sdn3d_tpu.data.semantic_data import MEAN_BGR, STD_BGR
+
+    def fn(variables, img_u8):
+        x = img_u8.astype(jnp.float32)[:, :, ::-1]
+        x = (x - jnp.asarray(MEAN_BGR, jnp.float32)) / jnp.asarray(
+            STD_BGR, jnp.float32)
+        total = None
+        for nh8, nw8 in sizes:
+            r = jax.image.resize(x, (nh8, nw8, 3), method="bilinear")
+            p = model.apply(variables, r[None], seg_size=(seg_h, seg_w),
+                            train=False)[0]
+            total = p if total is None else total + p
+        return jnp.argmax(total / len(sizes), axis=-1).astype(jnp.uint8)
+
+    return jax.jit(fn)
+
+
+def multiscale_labels_fused(variables, model: SemanticModel,
+                            image_rgb_u8: np.ndarray,
+                            scales: Sequence[int] = EVAL_SCALES
+                            ) -> np.ndarray:
+    """Argmax labels [H, W] uint8 from the RAW uint8 RGB frame in one
+    dispatch + one 1-byte/pixel fetch (see _jitted_multiscale_label).
+    Scale sizing matches multiscale_probs_device exactly."""
+    from sdn3d_tpu.data.semantic_data import (IMG_MAX_SIZE_EVAL,
+                                              round2nearest_multiple)
+    H, W = image_rgb_u8.shape[:2]
+    sizes = []
+    for s in scales:
+        scale = min(s / min(H, W), IMG_MAX_SIZE_EVAL / max(H, W))
+        sizes.append((round2nearest_multiple(int(H * scale), 8),
+                      round2nearest_multiple(int(W * scale), 8)))
+    fn = _jitted_multiscale_label(model, tuple(sizes), H, W)
+    return np.asarray(fn(variables, jnp.asarray(image_rgb_u8)))
+
+
 def multiscale_probs_device(variables, model: SemanticModel,
                             image: np.ndarray,
                             scales: Sequence[int] = EVAL_SCALES

@@ -30,7 +30,7 @@ from typing import Dict, List
 
 enabled = False
 _LOCK = threading.Lock()
-# name -> [seconds, calls, bytes]
+# name -> [seconds, calls, bytes, first_call_seconds]
 _TIMES: Dict[str, List[float]] = {}
 
 
@@ -52,7 +52,9 @@ def phase(name: str):
     finally:
         dt = time.perf_counter() - t0
         with _LOCK:
-            rec = _TIMES.setdefault(name, [0.0, 0, 0])
+            rec = _TIMES.setdefault(name, [0.0, 0, 0, 0.0])
+            if rec[1] == 0:
+                rec[3] = dt          # first call carries the jit compile
             rec[0] += dt
             rec[1] += 1
 
@@ -79,12 +81,20 @@ def add_bytes(name: str, *arrays) -> None:
         return
     n = sum(_nbytes(a) for a in arrays)
     with _LOCK:
-        rec = _TIMES.setdefault(name, [0.0, 0, 0])
+        rec = _TIMES.setdefault(name, [0.0, 0, 0, 0.0])
         rec[2] += n
 
 
 def snapshot() -> Dict[str, Dict[str, float]]:
+    """first_s isolates the compile-carrying first call; steady_avg_s is
+    the per-call mean over the remaining calls (the serving rate)."""
     with _LOCK:
-        return {k: {"s": round(v[0], 3), "calls": v[1],
-                    "MB": round(v[2] / 1e6, 2)}
-                for k, v in sorted(_TIMES.items())}
+        out = {}
+        for k, v in sorted(_TIMES.items()):
+            rec = {"s": round(v[0], 3), "calls": v[1],
+                   "MB": round(v[2] / 1e6, 2)}
+            if v[1] > 1:
+                rec["first_s"] = round(v[3], 3)
+                rec["steady_avg_s"] = round((v[0] - v[3]) / (v[1] - 1), 4)
+            out[k] = rec
+        return out
