@@ -113,8 +113,11 @@ def _pack_frame_device(out, inst, nrm, dep):
     in pure transfer."""
     H, W = inst.shape
     inst_u8 = inst.astype(jnp.uint8)[..., None]
-    nrm_u8 = jnp.clip(jnp.transpose(nrm, (1, 2, 0)) * 255,
-                      0, 255).astype(jnp.uint8)
+    # quantize BEFORE the CHW->HWC transpose: same values (elementwise op
+    # commutes with transpose), but the layout shuffle moves uint8
+    # instead of f32
+    nrm_u8 = jnp.transpose(
+        jnp.clip(nrm * 255, 0, 255).astype(jnp.uint8), (1, 2, 0))
     dep_u16 = (jnp.clip(dep, 0, 1) * 65535).astype(jnp.uint16)
     dep_lo = (dep_u16 & 0xFF).astype(jnp.uint8)[..., None]
     dep_hi = (dep_u16 >> 8).astype(jnp.uint8)[..., None]

@@ -92,6 +92,26 @@ def apply_operations(blob: Dict[str, jnp.ndarray], interests: np.ndarray,
     return out, interests
 
 
+def _interp_matrix(s: jnp.ndarray, R: int) -> jnp.ndarray:
+    """1-D bilinear interpolation weights [len(s), R].
+
+    Row i carries (1-w) at floor(s_i) and w at floor(s_i)+1 (indices
+    clipped to the border like _bilinear_sample) and is zeroed outside
+    the valid source range — so `W_y @ img @ W_x^T` equals the 2-D
+    gather-based bilinear sample, computed as two dense matmuls on the
+    MXU instead of 4 per-pixel gathers on the VPU (the gathers made the
+    full-frame composite ~4x slower than the raster itself)."""
+    valid = (s >= -0.5) & (s <= R - 0.5)
+    s0 = jnp.floor(s)
+    w = s - s0
+    i0 = jnp.clip(s0.astype(jnp.int32), 0, R - 1)
+    i1 = jnp.clip(i0 + 1, 0, R - 1)
+    r = jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], R), 1)
+    mat = ((r == i0[:, None]) * (1.0 - w)[:, None]
+           + (r == i1[:, None]) * w[:, None])
+    return jnp.where(valid[:, None], mat, 0.0)
+
+
 def _bilinear_sample(img: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray
                      ) -> jnp.ndarray:
     """img [C, R, R]; sy/sx [H, W] source coords -> [C, H, W]; zero outside."""
@@ -129,50 +149,108 @@ def composite_objects(
     focal: float = Camera.focal,
     u0: float = Camera.u0,
     v0: float = Camera.v0,
+    method: str = "matmul",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Depth-sorted full-frame composite (main.py:541-622).
 
     Returns (instance_map [H, W] int32 (0 = bg, i+1 = object i),
              normal_map [3, H, W] (bg 0.5),
              depth_map [H, W] in [0, 1] (bg 1.0)).
+
+    method="matmul" (default): every object's paste is sampled with
+    separable bilinear interpolation as two dense f32 matmuls on the MXU
+    (`_interp_matrix`), then the depth-sorted sequential overwrite is
+    resolved in parallel — masks are binarized (round), so the loop's
+    `(1-m)*prev + m*new` is exactly "the last pasted object with m == 1
+    wins", i.e. an argmax over paste rank.  TPU-measured 868 ms -> MXU
+    matmuls for the 16-object 375x1242 benchmark frame; the per-pixel
+    values match the loop path to fp-associativity (instance maps
+    measured identical — see tests/test_edit_pipeline.py).
+
+    method="loop": the original gather-based fori_loop paste, kept as
+    the associativity-exact reference path.
     """
     N = masks.shape[0]
     order = jnp.argsort(-depths[:, 0])              # far to near
-
-    yy = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0)
-    xx = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1)
-
-    inst = jnp.zeros((height, width), jnp.float32)
-    nrm = jnp.full((3, height, width), 0.5, jnp.float32)
-    dep = jnp.ones((1, height, width), jnp.float32)
-
     R = masks.shape[-1]          # actual render resolution
 
-    def paste(i, carry):
-        inst, nrm, dep = carry
-        k = order[i]
+    if method == "loop":
+        yy = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0)
+        xx = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1)
+
+        inst = jnp.zeros((height, width), jnp.float32)
+        nrm = jnp.full((3, height, width), 0.5, jnp.float32)
+        dep = jnp.ones((1, height, width), jnp.float32)
+
+        def paste(i, carry):
+            inst, nrm, dep = carry
+            k = order[i]
+            size = jnp.floor(render_size / zooms[k, 0])
+            cu = center2ds[k, 1] * focal + u0
+            cv = center2ds[k, 0] * focal + v0
+            left = jnp.floor(cu - jnp.floor(size / 2))  # int() trunc
+            top = jnp.floor(cv - jnp.floor(size / 2))
+            scale = R / size
+            sy = (yy - top + 0.5) * scale - 0.5
+            sx = (xx - left + 0.5) * scale - 0.5
+
+            m = jnp.round(_bilinear_sample(masks[k], sy, sx))    # [1, H, W]
+            m = m * (interests[k] > 0)
+            n = _bilinear_sample(normals[k] / 2.0 + 0.5, sy, sx)
+            d = _bilinear_sample(
+                jnp.minimum(depth_maps[k] * zooms[k, 0] / 100.0, 1.0),
+                sy, sx)
+
+            inst = (1 - m[0]) * inst + m[0] * (k + 1).astype(jnp.float32)
+            nrm = (1 - m) * nrm + m * n
+            dep = (1 - m) * dep + m * d
+            return inst, nrm, dep
+
+        inst, nrm, dep = jax.lax.fori_loop(0, N, paste, (inst, nrm, dep))
+        return inst.astype(jnp.int32), nrm, dep[0]
+
+    yy1 = jnp.arange(height, dtype=jnp.float32)
+    xx1 = jnp.arange(width, dtype=jnp.float32)
+
+    def sample_all(k):
         size = jnp.floor(render_size / zooms[k, 0])
         cu = center2ds[k, 1] * focal + u0
         cv = center2ds[k, 0] * focal + v0
-        left = jnp.floor(cu - jnp.floor(size / 2))   # int() trunc; coords >=0
+        left = jnp.floor(cu - jnp.floor(size / 2))      # int() trunc
         top = jnp.floor(cv - jnp.floor(size / 2))
         scale = R / size
-        sy = (yy - top + 0.5) * scale - 0.5
-        sx = (xx - left + 0.5) * scale - 0.5
+        sy = (yy1 - top + 0.5) * scale - 0.5            # [H]
+        sx = (xx1 - left + 0.5) * scale - 0.5           # [W]
+        wy = _interp_matrix(sy, R)                      # [H, R]
+        wx = _interp_matrix(sx, R)                      # [W, R]
+        planes = jnp.concatenate([
+            masks[k],
+            normals[k] / 2.0 + 0.5,
+            jnp.minimum(depth_maps[k] * zooms[k, 0] / 100.0, 1.0),
+        ], axis=0)                                       # [5, R, R]
+        s = jnp.einsum("hr,crq,wq->chw", wy, planes, wx,
+                       precision=jax.lax.Precision.HIGHEST)
+        m = jnp.round(s[0]) * (interests[k] > 0)         # binary
+        return m, s[1:4], s[4]
 
-        m = jnp.round(_bilinear_sample(masks[k], sy, sx))        # [1, H, W]
-        m = m * (interests[k] > 0)
-        n = _bilinear_sample(normals[k] / 2.0 + 0.5, sy, sx)     # [3, H, W]
-        d = _bilinear_sample(
-            jnp.minimum(depth_maps[k] * zooms[k, 0] / 100.0, 1.0), sy, sx)
+    m_all, n_all, d_all = jax.vmap(sample_all)(jnp.arange(N))
 
-        inst = (1 - m[0]) * inst + m[0] * (k + 1).astype(jnp.float32)
-        nrm = (1 - m) * nrm + m * n
-        dep = (1 - m) * dep + m * d
-        return inst, nrm, dep
+    # sequential far->near overwrite with binary masks == per pixel,
+    # the LAST pasted (nearest) object with m == 1 wins
+    m_ord = m_all[order]                                 # [N, H, W]
+    rank = jnp.arange(1, N + 1, dtype=m_ord.dtype)[:, None, None]
+    score = m_ord * rank
+    best = jnp.argmax(score, axis=0)                     # [H, W]
+    has = jnp.max(score, axis=0) > 0
+    slot = order[best]                                   # original index
 
-    inst, nrm, dep = jax.lax.fori_loop(0, N, paste, (inst, nrm, dep))
-    return inst.astype(jnp.int32), nrm, dep[0]
+    inst = jnp.where(has, slot + 1, 0).astype(jnp.int32)
+    idx3 = jnp.broadcast_to(slot[None, None], (1, 3) + slot.shape)
+    nrm_sel = jnp.take_along_axis(n_all, idx3, axis=0)[0]
+    dep_sel = jnp.take_along_axis(d_all, slot[None], axis=0)[0]
+    nrm = jnp.where(has[None], nrm_sel, 0.5)
+    dep = jnp.where(has, dep_sel, 1.0)
+    return inst, nrm, dep
 
 
 def compute_interests(class_ids: np.ndarray, mask_areas: np.ndarray,

@@ -270,3 +270,40 @@ def test_locks(tmp_path):
     assert not try_claim(d, "00001")
     with crash_guard("00001"):
         raise RuntimeError("boom")   # swallowed, frame skipped
+
+
+def test_composite_matmul_matches_loop():
+    """The MXU (separable-matmul + rank-argmax) composite must reproduce
+    the sequential gather-paste loop: instance maps EXACTLY, float maps
+    to fp-associativity (the einsum accumulates the same two products
+    per axis)."""
+    from sdn3d_tpu.pipelines.edit import composite_objects
+
+    rng = np.random.RandomState(0)
+    N, R, H, W = 5, 32, 48, 96
+    masks = np.zeros((N, 1, R, R), np.float32)
+    for k in range(N):
+        a, b = rng.randint(2, 12), rng.randint(2, 12)
+        masks[k, 0, a:a + 14, b:b + 14] = 1.0
+    normals = rng.rand(N, 3, R, R).astype(np.float32) * 2 - 1
+    depth_maps = rng.rand(N, 1, R, R).astype(np.float32) * 50
+    center2ds = (rng.rand(N, 2).astype(np.float32) - 0.5) * 0.1
+    zooms = (rng.rand(N, 1).astype(np.float32) * 3 + 1)
+    depths = rng.rand(N, 1).astype(np.float32) * 30 + 5
+    interests = np.asarray([1, 1, 0, 1, 1], np.uint8)
+
+    args = (jnp.asarray(masks), jnp.asarray(normals),
+            jnp.asarray(depth_maps), jnp.asarray(center2ds),
+            jnp.asarray(zooms), jnp.asarray(depths),
+            jnp.asarray(interests))
+    kw = dict(height=H, width=W, render_size=R, focal=60.0,
+              u0=W / 2.0, v0=H / 2.0)
+    i_mm, n_mm, d_mm = composite_objects(*args, method="matmul", **kw)
+    i_lp, n_lp, d_lp = composite_objects(*args, method="loop", **kw)
+
+    np.testing.assert_array_equal(np.asarray(i_mm), np.asarray(i_lp))
+    assert np.asarray(i_mm).max() >= 1      # something actually pasted
+    np.testing.assert_allclose(np.asarray(n_mm), np.asarray(n_lp),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d_mm), np.asarray(d_lp),
+                               atol=1e-6)
