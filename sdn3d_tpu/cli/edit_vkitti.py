@@ -67,22 +67,28 @@ def load_trainer(args):
 def prepare_source_inputs(trainer, state, src_img, label_img, load_size,
                           wh):
     """Source-side textural inputs from PIL images: the transformed RGB
-    in [-1, 1], the int32 label map at target resolution, and the encoded
-    per-pixel feature map.  The ONE implementation shared by this CLI,
-    cli/edit_benchmark's per-source cache and EditChain.generate — the
-    math must stay identical across all callers for the fused == file
-    chain parity guarantee (tests/test_chain.py)."""
+    in [-1, 1], the int32 label map at target resolution, and the
+    per-slot source feature-code table [max_instances, feat] (netE +
+    instance means in one device program; its slot order is
+    dense_instance_slots(base_label)).  The ONE implementation shared by
+    this CLI, cli/edit_benchmark's per-source cache and
+    EditChain.generate — the math must stay identical across all callers
+    for the fused == file chain parity guarantee (tests/test_chain.py)."""
     import jax.numpy as jnp
 
-    from sdn3d_tpu.data.textural_data import transform_image
+    from sdn3d_tpu.data.textural_data import (dense_instance_slots,
+                                              transform_image)
 
     base_img_t = transform_image(src_img.convert("RGB"), load_size, wh)
     base_label = (np.asarray(transform_image(
         label_img, load_size, wh, nearest=True,
         normalize=False)) * 255.0).astype(np.int32)[..., 0]
-    feats = np.asarray(trainer.encode_features_jit(
-        state.params_e, jnp.asarray(base_img_t[None])))[0]   # [H, W, feat]
-    return base_img_t, base_label, feats
+    src_slots, _ = dense_instance_slots(base_label,
+                                        trainer.cfg.max_instances)
+    feat_means = np.asarray(trainer.encode_feat_means_jit(
+        state.params_e, jnp.asarray(base_img_t[None]),
+        jnp.asarray(src_slots[None])))[0]        # [max_instances, feat]
+    return base_img_t, base_label, feat_means
 
 
 def assemble_edit_conditioning(trainer, state, base_img_t, base_label,
@@ -126,23 +132,20 @@ def assemble_edit_conditioning(trainer, state, base_img_t, base_label,
     # source texture codes, by target instance id
     cfg = trainer.cfg
     slots, mapping = dense_instance_slots(maps["inst"], cfg.max_instances)
-    if feats is None:
-        feats = np.asarray(trainer.encode_features_jit(
-            state.params_e, jnp.asarray(base_img_t[None])))[0]  # [H, W, feat]
-    # codes from the SOURCE instance layout:
+    # codes from the SOURCE instance layout (prepare_source_inputs
+    # computes the per-slot mean table [max_instances, feat] on device,
+    # fused with netE; ~1 KB instead of a [H, W, feat] map per source)
     src_slots, src_mapping = dense_instance_slots(
         np.asarray(base_label), cfg.max_instances)
-    # For edit frames, codes are looked up by matching instance ids between
-    # source and target (edit_vkitti.py:57,99-105): same k*1000 id = same
-    # object.  Per-slot means computed host-side: the tiny segment-sum
-    # program intermittently wedges this TPU relay, and at 64 slots numpy
-    # is instant anyway.
-    flat = feats.reshape(-1, feats.shape[-1])
-    seg = src_slots.reshape(-1)
-    sums = np.zeros((cfg.max_instances, flat.shape[-1]), np.float32)
-    np.add.at(sums, seg, flat)
-    counts = np.bincount(seg, minlength=cfg.max_instances).astype(np.float32)
-    means_np = sums / np.maximum(counts[:, None], 1.0)
+    if feats is None:
+        import jax.numpy as _jnp
+        feats = np.asarray(trainer.encode_feat_means_jit(
+            state.params_e, _jnp.asarray(base_img_t[None]),
+            _jnp.asarray(src_slots[None])))[0]
+    means_np = np.asarray(feats, np.float32)     # [max_instances, feat]
+    # For edit frames, codes are looked up by matching instance ids
+    # between source and target (edit_vkitti.py:57,99-105): same k*1000
+    # id = same object.
     feat_table = np.zeros((cfg.max_instances, cfg.feat_num), np.float32)
     for inst_id, slot in mapping.items():
         src_slot = src_mapping.get(inst_id)

@@ -90,9 +90,31 @@ def _encode_jit(model: Derenderer):
             "_focals": focals,
         }
         blob.update(model.apply(variables, rgbs, mroi, droi, train=False))
-        return blob
+        # one flat byte buffer so the host fetches the whole (~150 KB)
+        # blob in a single relay round-trip instead of one per leaf
+        packed = jnp.concatenate([
+            jax.lax.bitcast_convert_type(
+                blob[k].astype(jnp.float32), jnp.uint8).reshape(-1)
+            for k in sorted(blob)])
+        return blob, packed
 
     return fn
+
+
+def _unpack_blob(packed_np: np.ndarray, blob) -> Dict[str, np.ndarray]:
+    """Host inverse of _encode_jit's packed output (shapes/dtypes from
+    the device blob's metadata; no per-leaf transfer)."""
+    out = {}
+    buf = packed_np.tobytes()
+    off = 0
+    for k in sorted(blob):
+        shape = tuple(blob[k].shape)
+        n = int(np.prod(shape))
+        out[k] = np.frombuffer(buf, np.float32, count=n,
+                               offset=off).reshape(shape).astype(
+            blob[k].dtype)
+        off += 4 * n
+    return out
 
 
 _SMALL_KEYS = ("_depths", "_alphas", "_scales", "_rotations",
@@ -172,11 +194,12 @@ def _render_composite_jit(mode: int, image_size: int, render_size: int,
 
 
 def encode_objects(variables, model: Derenderer, objs: Dict[str, np.ndarray],
-                   cfg: DerenderInferConfig) -> Dict[str, jnp.ndarray]:
+                   cfg: DerenderInferConfig
+                   ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
     """Run the derenderer encoder over all object slots (main.py:385-402).
 
     jit-cached per model: repeated frames (the 92-pair benchmark loop)
-    re-use the compiled program."""
+    re-use the compiled program.  Returns (device blob, packed bytes)."""
     return _encode_jit(model)(variables, jnp.asarray(objs["rgbs"]),
                               jnp.asarray(objs["roi_norms"]),
                               jnp.asarray(objs["focals"]))
@@ -298,7 +321,8 @@ def derender_encode(
                                cfg, all_interested)
         phases.add_bytes("geo.prep", objs["rgbs"], objs["masks"])
     with phases.phase("geo.encode"):
-        blob = phases.block(encode_objects(variables, model, objs, cfg))
+        blob, packed = phases.block(
+            encode_objects(variables, model, objs, cfg))
 
     if cfg.num_opts:
         if image_ignores is None:
@@ -320,9 +344,15 @@ def derender_encode(
     # source: the edit/replay path does host-side op matching over them
     # per PAIR (pipelines/edit.py), and each np.asarray of a device
     # field costs a ~50 ms relay round-trip — per pair, that was the
-    # single biggest geometric phase after the render itself.
-    with phases.phase("geo.encode"):
-        blob = jax.device_get(blob)
+    # single biggest geometric phase after the render itself.  The
+    # refine path rewrites the blob on device, so it pays the per-leaf
+    # device_get; the common num_opts=0 path unpacks the encoder's
+    # single packed buffer (one round-trip).
+    with phases.phase("geo.encode_fetch"):
+        if cfg.num_opts:
+            blob = jax.device_get(blob)
+        else:
+            blob = _unpack_blob(np.asarray(packed), blob)
     return objs, blob
 
 

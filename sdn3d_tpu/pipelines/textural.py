@@ -24,8 +24,8 @@ import optax
 
 from sdn3d_tpu.models.pix2pixhd import (
     Encoder, GlobalEncoder, GlobalGenerator, MultiscaleDiscriminator,
-    get_edges, instance_average, gan_loss_lsgan, feature_matching_loss,
-    kl_loss, reparameterize)
+    get_edges, instance_average, instance_feature_means, gan_loss_lsgan,
+    feature_matching_loss, kl_loss, reparameterize)
 from sdn3d_tpu.models.vgg import Vgg19Features, vgg_loss
 from sdn3d_tpu.utils.image_pool import ImagePool
 
@@ -204,6 +204,16 @@ class TexturalTrainer:
         self.encode_features_jit = jax.jit(
             lambda params_e, image: self.netE.apply({"params": params_e},
                                                     image))
+        # netE + per-slot mean table in ONE program: the edit path only
+        # needs the [max_instances, feat] source-code table, so fetching
+        # it (~1 KB) instead of the [H, W, feat] feature map saves the
+        # 2.4 MB/source d2h over the relay.  Fused with the encoder (a
+        # STANDALONE tiny segment-sum program intermittently wedges this
+        # relay — see assemble_edit_conditioning's history).
+        self.encode_feat_means_jit = jax.jit(
+            lambda params_e, image, slots: instance_feature_means(
+                self.netE.apply({"params": params_e}, image), slots,
+                self.cfg.max_instances)[0])
         self._generate_concat_jit = jax.jit(
             lambda state, batch, rng=None: self._generate(
                 state.params_g, state.params_e, batch, state.params_ge, rng))
