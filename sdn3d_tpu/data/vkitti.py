@@ -183,23 +183,32 @@ def resize_bilinear_np(image: np.ndarray, size: int) -> np.ndarray:
 
 def transform_rgb(image_rgb: np.ndarray, roi: Sequence[int],
                   image_size: int = 256,
-                  mean=(0.5, 0.5, 0.5), std=(0.25, 0.25, 0.25)) -> np.ndarray:
+                  mean=(0.5, 0.5, 0.5), std=(0.25, 0.25, 0.25),
+                  prescaled: bool = False) -> np.ndarray:
     """Square-crop, resize, normalize an object crop for the derenderer
     (the per-ROI path in geometric/scripts/main.py:365-373).  Returns
     [image_size, image_size, 3] float32 NHWC.
 
     Routed through the native host library when built (PIL-exact
-    resampling, no per-object PIL round trips)."""
+    resampling, no per-object PIL round trips).  `prescaled=True` means
+    the caller already converted the frame to float32 in [0, 1] — the
+    full-frame astype/divide is ~2 ms at 375x1242 and callers with many
+    ROIs on one frame (prepare_objects) hoist it out of their per-object
+    loop; values are identical either way."""
     from sdn3d_tpu.data import native
+    img = (image_rgb if prescaled
+           else np.asarray(image_rgb, np.float32) / 255.0)
     return native.crop_square_resize(
-        image_rgb.astype(np.float32) / 255.0, [int(v) for v in roi],
+        img, [int(v) for v in roi],
         image_size, fill=0.5, mean=mean, std=std)
 
 
 def transform_mask(mask: np.ndarray, roi: Sequence[int],
                    render_size: int = 384) -> np.ndarray:
     """Square-crop + resize a binary mask to the render frame."""
-    crop = crop_square(mask.astype(np.float32), roi, fill=0.0)
+    # asarray (not astype): crop_square only reads, so skip the full-res
+    # copy when the mask is already float32
+    crop = crop_square(np.asarray(mask, np.float32), roi, fill=0.0)
     crop = resize_bilinear_np(crop, render_size)
     return crop.astype(np.float32)
 

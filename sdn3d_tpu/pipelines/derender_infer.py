@@ -50,9 +50,14 @@ def prepare_objects(image_rgb: np.ndarray, rois: np.ndarray,
     masks = np.zeros((M, cfg.render_size, cfg.render_size), np.float32)
     rois_pad = np.zeros((M, 4), np.float32)
     valid = np.zeros((M,), bool)
+    # hoist the full-frame uint8 -> [0,1] float conversion out of the
+    # per-object loop (identical values; saves ~2 ms x n_objects/frame)
+    image_f = np.asarray(image_rgb, np.float32) / 255.0
+    image_masks_f = np.asarray(image_masks, np.float32)
     for i in range(n):
-        rgbs[i] = VK.transform_rgb(image_rgb, rois[i], cfg.image_size)
-        masks[i] = VK.transform_mask(image_masks[i, 0], rois[i],
+        rgbs[i] = VK.transform_rgb(image_f, rois[i], cfg.image_size,
+                                   prescaled=True)
+        masks[i] = VK.transform_mask(image_masks_f[i, 0], rois[i],
                                      cfg.render_size)
         rois_pad[i] = rois[i]
         valid[i] = True

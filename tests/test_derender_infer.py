@@ -147,3 +147,24 @@ def test_derender_images_batch_sharded(setup):
                                    atol=1e-6)
         np.testing.assert_allclose(p["depth_map"], s["depth_map"],
                                    atol=1e-6)
+
+
+def test_prepare_objects_hoisted_conversion_is_byte_exact(setup):
+    """prepare_objects hoists the full-frame uint8->[0,1] conversion out
+    of its per-object loop; the slots must stay byte-identical to
+    per-object transform_rgb/transform_mask on the raw inputs."""
+    from sdn3d_tpu.data import vkitti as VK
+    from sdn3d_tpu.pipelines.derender_infer import prepare_objects
+
+    _model, _variables, _bank, cfg = setup
+    image, rois, masks, class_ids = fake_scene()
+    objs = prepare_objects(image, rois, masks, class_ids, cfg)
+    for i in range(len(rois)):
+        ref_rgb = VK.transform_rgb(image, rois[i], cfg.image_size)
+        ref_mask = VK.transform_mask(masks[i, 0], rois[i], cfg.render_size)
+        assert np.array_equal(objs["rgbs"][i], ref_rgb)
+        assert np.array_equal(objs["masks"][i, 0], ref_mask)
+    # uint8 masks route through the same astype
+    objs_u8 = prepare_objects(image, rois, masks.astype(np.uint8),
+                              class_ids, cfg)
+    assert np.array_equal(objs_u8["masks"], objs["masks"])
