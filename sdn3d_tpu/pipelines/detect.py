@@ -58,6 +58,34 @@ class MaskRCNNDetector:
         self._apply = jax.jit(self.model.apply,
                               static_argnames=("train",))
 
+        # Serving-path program: uint8 frame in, ONE flat f32 buffer out.
+        # The relay charges ~50 ms per device->host fetch and ~70-100
+        # MB/s h2d, so (a) the molded frame ships as uint8 (3 MB, not
+        # 12 MB f32) with the mean subtraction moved on-device
+        # (resize_image keeps uint8, so host f32-subtract and device
+        # f32-subtract are byte-identical), and (b) detections /
+        # validity / the per-detection OWN-CLASS mask plane come back in
+        # one packed fetch (the full [D, mh, mw, C] mask stack is C x
+        # larger and the host only ever reads channel class_id).
+        def _detect_packed(variables, img_u8, anchors, window):
+            import jax.numpy as jnp
+
+            mean = jnp.asarray(self.config.mean_pixel, jnp.float32)
+            molded = img_u8.astype(jnp.float32) - mean
+            out = self.model.apply(variables, molded[None], anchors,
+                                   window, train=False)
+            dets = out["detections"].astype(jnp.float32)       # [D, 6]
+            valid = out["det_valid"].astype(jnp.float32)       # [D]
+            masks = out["masks"]                               # [D,mh,mw,C]
+            cid = jnp.clip(dets[:, 4].astype(jnp.int32), 0,
+                           masks.shape[-1] - 1)
+            own = jnp.take_along_axis(
+                masks, cid[:, None, None, None], axis=-1)[..., 0]
+            return jnp.concatenate([dets.reshape(-1), valid,
+                                    own.astype(jnp.float32).reshape(-1)])
+
+        self._detect_packed = jax.jit(_detect_packed)
+
     def init(self, rng):
         import jax.numpy as jnp
 
@@ -80,15 +108,17 @@ class MaskRCNNDetector:
         H, W = image_rgb.shape[:2]
         molded, window, scale = resize_image(image_rgb, cfg.image_min_dim,
                                              cfg.image_max_dim)
-        molded = molded.astype(np.float32) - np.asarray(cfg.mean_pixel,
-                                                        np.float32)
-        out = self._apply(variables, jnp.asarray(molded[None]),
-                          jnp.asarray(self.anchors),
-                          jnp.asarray(window, jnp.float32), train=False)
+        packed = np.asarray(self._detect_packed(        # ONE d2h fetch
+            variables, jnp.asarray(molded), jnp.asarray(self.anchors),
+            jnp.asarray(window, jnp.float32)))
+        from sdn3d_tpu.utils import phases
+        phases.add_bytes("det.detect", molded, packed)
 
-        dets = np.asarray(out["detections"])          # [D, 6] pixel (molded)
-        valid = np.asarray(out["det_valid"])
-        masks = np.asarray(out["masks"])              # [D, mh, mw, C]
+        D = cfg.detection_max_instances
+        mh, mw = cfg.mask_shape
+        dets = packed[:D * 6].reshape(D, 6)           # [D, 6] pixel (molded)
+        valid = packed[D * 6:D * 7] > 0.5
+        own_masks = packed[D * 7:].reshape(D, mh, mw)  # own-class plane
 
         class_ids, full_masks, rois = [], [], []
         for i in range(len(dets)):
@@ -112,7 +142,7 @@ class MaskRCNNDetector:
             ox1, ox2 = np.clip([ox1, ox2], 0, W)
             if oy2 - oy1 < 1 or ox2 - ox1 < 1:
                 continue
-            m = masks[i, :, :, cid]
+            m = own_masks[i]
             m = np.asarray(PILImage.fromarray(
                 (m * 255).astype(np.uint8)).resize(
                 (int(ox2 - ox1), int(oy2 - oy1)), PILImage.BILINEAR))

@@ -124,3 +124,54 @@ def test_crop_and_resize_gradient_flows():
 
     g = jax.grad(f)(image)
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_detect_packed_matches_unpacked_apply():
+    """MaskRCNNDetector's serving program (_detect_packed: uint8 frame in,
+    one flat buffer out, own-class mask gather on device) must reproduce
+    the plain model.apply outputs byte-for-byte: device-side mean
+    subtraction from the uint8 molded frame == host-side f32 subtraction,
+    and the packed layout slices back to detections / validity / the
+    class_id mask plane."""
+    import jax
+    from sdn3d_tpu.models.maskrcnn import MaskRCNNConfig
+    from sdn3d_tpu.pipelines.detect import MaskRCNNDetector, resize_image
+
+    cfg = MaskRCNNConfig(
+        num_classes=3, image_min_dim=128, image_max_dim=128,
+        rpn_anchor_scales=(8, 16, 32, 64, 128),
+        pre_nms_limit=200, post_nms_rois_inference=50,
+        detection_min_confidence=0.0, detection_max_instances=10,
+        stage_sizes=(2, 2, 2, 2))
+    det = MaskRCNNDetector(config=cfg)
+    variables = det.init(jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(0)
+    image = (rng.rand(96, 128, 3) * 255).astype(np.uint8)
+    image[30:80, 40:110] = [210, 50, 50]
+    molded, window, _ = resize_image(image, cfg.image_min_dim,
+                                     cfg.image_max_dim)
+
+    ref = det._apply(
+        variables,
+        jnp.asarray(molded.astype(np.float32)
+                    - np.asarray(cfg.mean_pixel, np.float32))[None],
+        jnp.asarray(det.anchors), jnp.asarray(window, jnp.float32),
+        train=False)
+    packed = np.asarray(det._detect_packed(
+        variables, jnp.asarray(molded), jnp.asarray(det.anchors),
+        jnp.asarray(window, jnp.float32)))
+
+    D = cfg.detection_max_instances
+    mh, mw = cfg.mask_shape
+    dets_ref = np.asarray(ref["detections"], np.float32)
+    assert np.array_equal(packed[:D * 6].reshape(D, 6), dets_ref)
+    assert np.array_equal(packed[D * 6:D * 7] > 0.5,
+                          np.asarray(ref["det_valid"]).astype(bool))
+    masks_ref = np.asarray(ref["masks"], np.float32)
+    cid = np.clip(dets_ref[:, 4].astype(np.int32), 0,
+                  masks_ref.shape[-1] - 1)
+    own_ref = np.take_along_axis(
+        masks_ref, cid[:, None, None, None], axis=-1)[..., 0]
+    np.testing.assert_array_equal(packed[D * 7:].reshape(D, mh, mw),
+                                  own_ref)
