@@ -56,6 +56,11 @@ def build_argparser():
     p.add_argument("--fine_height", type=int, default=192)
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--full_fetch", action="store_true",
+                   help="fetch full-resolution geometric maps per pair "
+                        "instead of the device-downsized serving planes "
+                        "(automatic with --dump_dirs; outputs are "
+                        "byte-identical either way)")
     p.add_argument("--phases", action="store_true",
                    help="record a per-phase wall-clock + transfer-byte "
                         "breakdown (utils/phases.py) into the result "
@@ -87,7 +92,8 @@ def main(argv=None):
                       mode=args.mode, load_size=args.load_size,
                       fine_width=args.fine_width,
                       fine_height=args.fine_height,
-                      compute_dtype=args.compute_dtype)
+                      compute_dtype=args.compute_dtype,
+                      small_fetch=not (args.full_fetch or args.dump_dirs))
     chain = EditChain.build(
         cfg, args.shapenet_root, semantic_ckpt=args.semantic_ckpt,
         derender_ckpt=args.derender_ckpt, textural_ckpt=args.textural_ckpt,

@@ -93,7 +93,8 @@ def prepare_source_inputs(trainer, state, src_img, label_img, load_size,
 
 def assemble_edit_conditioning(trainer, state, base_img_t, base_label,
                                inst_img, json_obj, normal_img, wh, args,
-                               feats=None):
+                               feats=None, inst_small=None,
+                               normal_small=None):
     """Host-side conditioning assembly for one edit frame: transformed
     maps + instance slots + the per-slot source-code table, as numpy —
     ready to stack into a generation batch.  Returns (maps, slots,
@@ -104,17 +105,31 @@ def assemble_edit_conditioning(trainer, state, base_img_t, base_label,
     of the same f32 codes) while uploading ~1 KB instead of a
     [H, W, feat] float map over the ~70 MB/s relay.  `normal_u8` is the
     raw resized normal PNG (uint8), normalized on device by
-    fake_inference with assemble_condition_maps' exact math."""
+    fake_inference with assemble_condition_maps' exact math.
+
+    `inst_small`/`normal_small` optionally carry the geometric stage's
+    DEVICE-downsized planes (uint8, already at `wh` — the fused serving
+    contract, pipelines/derender_infer.py small_plan): bit-exact to the
+    PIL transform this function would apply (tests/test_pil_resize.py),
+    so the full-resolution PIL path is skipped, including its float
+    round-trip (replicated below: uint8/255*255 is exact in f32)."""
     import jax.numpy as jnp
 
     from sdn3d_tpu.data.textural_data import (
         assemble_condition_maps, dense_instance_slots, transform_image)
 
-    inst_png = np.asarray(transform_image(
-        inst_img, args.load_size, wh, nearest=True, normalize=False)
-        * 255.0).astype(np.int32)[..., 0]
+    if inst_small is not None:
+        inst_png = ((np.asarray(inst_small).astype(np.float32) / 255.0)
+                    * 255.0).astype(np.int32)
+    else:
+        inst_png = np.asarray(transform_image(
+            inst_img, args.load_size, wh, nearest=True, normalize=False)
+            * 255.0).astype(np.int32)[..., 0]
     normal_png = None
-    if normal_img is not None:
+    if normal_small is not None:
+        normal_png = (np.asarray(normal_small).astype(np.float32)
+                      / 255.0) * 255.0
+    elif normal_img is not None:
         normal_png = np.asarray(transform_image(
             normal_img.convert("RGB"), args.load_size, wh,
             normalize=False)) * 255.0
@@ -156,7 +171,8 @@ def assemble_edit_conditioning(trainer, state, base_img_t, base_label,
 
 def generate_edit_from_images(trainer, state, base_img_t, base_label,
                               inst_img, json_obj, normal_img, wh, args,
-                              feats=None):
+                              feats=None, inst_small=None,
+                              normal_small=None):
     """Core of the textural edit step from in-memory PIL images.
 
     Entry point of the fused single-process chain
@@ -170,7 +186,9 @@ def generate_edit_from_images(trainer, state, base_img_t, base_label,
         trainer, state,
         [{"base_img_t": base_img_t, "base_label": base_label,
           "inst_img": inst_img, "json_obj": json_obj,
-          "normal_img": normal_img, "feats": feats}], wh, args)
+          "normal_img": normal_img, "feats": feats,
+          "inst_small": inst_small, "normal_small": normal_small}],
+        wh, args)
     return fakes[0], maps_list[0]
 
 
@@ -190,8 +208,10 @@ def generate_edit_batch(trainer, state, items, wh, args):
         assembled = [
             assemble_edit_conditioning(
                 trainer, state, it["base_img_t"], it["base_label"],
-                it["inst_img"], it["json_obj"], it.get("normal_img"), wh,
-                args, feats=it.get("feats"))
+                it.get("inst_img"), it["json_obj"], it.get("normal_img"),
+                wh, args, feats=it.get("feats"),
+                inst_small=it.get("inst_small"),
+                normal_small=it.get("normal_small"))
             for it in items]
     with phases.phase("tex.upload"):
         # Conditioning ships in the smallest lossless dtypes (label ids

@@ -47,6 +47,12 @@ class ChainConfig:
     # max source frames whose per-source intermediates (labels, derender
     # encode, textural transforms + feature map) stay resident
     cache_sources: int = 4
+    # downsize the geometric instance/normal planes ON DEVICE to the
+    # textural conditioning resolution (ops/pil_resize, bit-exact to the
+    # host PIL transform) and fetch those instead of the full-resolution
+    # maps — ~6x less d2h per pair.  Output-identical either way; turn
+    # off when the full-resolution file contract must be dumped.
+    small_fetch: bool = True
 
 
 class _SourceCache:
@@ -112,6 +118,20 @@ class EditChain:
         # what generate_edit_from_images reads off the args namespace
         self._tex_args = SimpleNamespace(load_size=cfg.load_size)
         self._wh = (cfg.fine_width, cfg.fine_height)
+        self._plan_cache: Dict[Tuple[int, int], object] = {}
+
+    def _small_plan(self, image_shape):
+        """Device-downsize plan for this frame shape (None = fall back
+        to the full-resolution fetch + host PIL path)."""
+        if not self.cfg.small_fetch:
+            return None
+        key = tuple(image_shape[:2])
+        if key not in self._plan_cache:
+            from sdn3d_tpu.ops.pil_resize import transform_plan
+            H, W = key
+            self._plan_cache[key] = transform_plan(
+                (W, H), self.cfg.load_size, self._wh)
+        return self._plan_cache[key]
 
     # -- construction -----------------------------------------------------
 
@@ -226,7 +246,8 @@ class EditChain:
         out = derender_image(self.derender_vars, self.derender_model,
                              self.bank, image_rgb, class_ids, masks, rois,
                              self.infer_cfg, operations=operations,
-                             encoded=encoded)
+                             encoded=encoded,
+                             small_plan=self._small_plan(image_rgb.shape))
         self.stage_s["geometric"] += time.perf_counter() - t0
         return out
 
@@ -267,14 +288,22 @@ class EditChain:
 
         with phases.phase("tex.quantize"):
             # device-quantized bytes from the packed fetch (identical to
-            # quantize_instance_map/quantize_normal_map on the float maps)
-            inst_img = Image.fromarray(geo_out["instance_png"])
-            normal_img = Image.fromarray(geo_out["normal_png"])
+            # quantize_instance_map/quantize_normal_map on the float
+            # maps).  With the small serving contract the planes are
+            # already at conditioning resolution — no PIL round-trip.
+            if "instance_small" in geo_out:
+                inst_img = normal_img = None
+                small = (geo_out["instance_small"],
+                         geo_out["normal_small"])
+            else:
+                inst_img = Image.fromarray(geo_out["instance_png"])
+                normal_img = Image.fromarray(geo_out["normal_png"])
+                small = (None, None)
 
         fake, maps = generate_edit_from_images(
             self.textural_trainer, self.textural_state, base_img_t,
             base_label, inst_img, geo_out["json_obj"], normal_img, wh,
-            args, feats=feats)
+            args, feats=feats, inst_small=small[0], normal_small=small[1])
         self.stage_s["textural"] += time.perf_counter() - t0
         return fake, maps
 
@@ -355,9 +384,10 @@ class EditChain:
                 "image_masks": masks, "rois": rois,
                 "operations": r.get("operations"), "encoded": encoded,
             })
-        geos = derender_images_batch(self.derender_vars,
-                                     self.derender_model, self.bank,
-                                     frames, self.infer_cfg)
+        geos = derender_images_batch(
+            self.derender_vars, self.derender_model, self.bank, frames,
+            self.infer_cfg,
+            small_plan=self._small_plan(frames[0]["image_rgb"].shape))
         self.stage_s["geometric"] += _time.perf_counter() - t0
 
         # textural: cached per-source inputs, one batched generation
@@ -383,13 +413,17 @@ class EditChain:
                     self._src_cache.put(key, cached)
             base_img_t, base_label, feats = cached
             with phases.phase("tex.quantize"):
-                items.append({
+                item = {
                     "base_img_t": base_img_t, "base_label": base_label,
-                    "inst_img": Image.fromarray(geo["instance_png"]),
-                    "json_obj": geo["json_obj"],
-                    "normal_img": Image.fromarray(geo["normal_png"]),
-                    "feats": feats,
-                })
+                    "json_obj": geo["json_obj"], "feats": feats,
+                }
+                if "instance_small" in geo:
+                    item["inst_small"] = geo["instance_small"]
+                    item["normal_small"] = geo["normal_small"]
+                else:
+                    item["inst_img"] = Image.fromarray(geo["instance_png"])
+                    item["normal_img"] = Image.fromarray(geo["normal_png"])
+                items.append(item)
         fakes, maps_list = generate_edit_batch(
             self.textural_trainer, self.textural_state, items, self._wh,
             self._tex_args)
@@ -412,6 +446,9 @@ class EditChain:
         from PIL import Image
 
         from sdn3d_tpu.cli.geometric_main import save_outputs
+        assert "instance_png" in geo, \
+            ("dump needs the full-resolution contract; build the chain "
+             "with ChainConfig(small_fetch=False) when dumping")
         os.makedirs(segm_dir, exist_ok=True)
         Image.fromarray(label.astype(np.uint8)).save(
             os.path.join(segm_dir, f"{source_name}.png"))

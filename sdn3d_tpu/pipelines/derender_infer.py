@@ -20,6 +20,7 @@ import optax
 from sdn3d_tpu.data import vkitti as VK
 from sdn3d_tpu.models.derenderer import (
     Derenderer, DeviceMeshBank, TargetType, render_blob)
+from sdn3d_tpu.ops import pil_resize
 from sdn3d_tpu.pipelines import edit as edit_mod
 from sdn3d_tpu.render import render, RenderType
 from sdn3d_tpu.utils import phases
@@ -39,9 +40,15 @@ class DerenderInferConfig:
 def prepare_objects(image_rgb: np.ndarray, rois: np.ndarray,
                     image_masks: np.ndarray, class_ids: np.ndarray,
                     cfg: DerenderInferConfig,
-                    all_interested: bool = False) -> Dict[str, np.ndarray]:
+                    all_interested: bool = False,
+                    with_masks: bool = True) -> Dict[str, np.ndarray]:
     """Host-side packing of per-object crops to padded slots
-    (main.py:344-392).  image_masks [N, 1, H, W]; rois [N, 4] pixel."""
+    (main.py:344-392).  image_masks [N, 1, H, W]; rois [N, 4] pixel.
+
+    `with_masks=False` skips the per-object render_size mask crops —
+    they are consumed only by the silhouette refinement (num_opts > 0),
+    and at serving shapes they cost more host time than everything else
+    in this function combined."""
     n = len(class_ids)
     M = cfg.max_objects
     assert n <= M, (n, M)
@@ -53,12 +60,14 @@ def prepare_objects(image_rgb: np.ndarray, rois: np.ndarray,
     # hoist the full-frame uint8 -> [0,1] float conversion out of the
     # per-object loop (identical values; saves ~2 ms x n_objects/frame)
     image_f = np.asarray(image_rgb, np.float32) / 255.0
-    image_masks_f = np.asarray(image_masks, np.float32)
+    image_masks_f = (np.asarray(image_masks, np.float32) if with_masks
+                     else None)
     for i in range(n):
         rgbs[i] = VK.transform_rgb(image_f, rois[i], cfg.image_size,
                                    prescaled=True)
-        masks[i] = VK.transform_mask(image_masks_f[i, 0], rois[i],
-                                     cfg.render_size)
+        if with_masks:
+            masks[i] = VK.transform_mask(image_masks_f[i, 0], rois[i],
+                                         cfg.render_size)
         rois_pad[i] = rois[i]
         valid[i] = True
 
@@ -126,44 +135,67 @@ _SMALL_KEYS = ("_depths", "_alphas", "_scales", "_rotations",
                "_translations", "_zooms", "_class_samples")
 
 
-def _pack_frame_device(out, inst, nrm, dep):
-    """Inside-jit packing of one frame's host contract into a single
-    uint8 buffer [H + k, W, 6].
+def _smalls_tail(out, width: int, channels: int):
+    """Bitcast the per-object small tensors to byte rows of the packed
+    buffer's shape ([k, width, channels])."""
+    smalls = [jax.lax.bitcast_convert_type(
+        out[k].astype(jnp.float32), jnp.uint8).reshape(-1)
+        for k in _SMALL_KEYS]
+    sv = jnp.concatenate(smalls)
+    row = width * channels
+    k = -(-int(sv.size) // row)
+    return jnp.pad(sv, (0, k * row - int(sv.size))).reshape(
+        k, width, channels)
 
-    The first H rows carry the quantized 2.5D maps with `save_outputs`'
-    exact math (instance uint8; normal RGB uint8; depth uint16 split into
-    lo/hi byte planes); the k tail rows carry the per-object small
-    tensors (_SMALL_KEYS) bitcast to bytes.  One buffer means ONE
-    device->host fetch per frame: the benchmark TPU sits behind a relay
-    measured at ~50 ms per fetch round-trip and ~45 MB/s d2h, so the old
-    contract (float maps + 9 separate fetches, ~9 MB) cost ~0.7 s/frame
-    in pure transfer."""
-    H, W = inst.shape
-    inst_u8 = inst.astype(jnp.uint8)[..., None]
+
+def _pack_frame_device(out, inst, nrm, dep, small=None):
+    """Inside-jit packing of one frame's host contract into a single
+    uint8 buffer.
+
+    `small=None` (the file contract): [H + k, W, 6] — the first H rows
+    carry the quantized 2.5D maps with `save_outputs`' exact math
+    (instance uint8; normal RGB uint8; depth uint16 split into lo/hi
+    byte planes); the k tail rows carry the per-object small tensors
+    (_SMALL_KEYS) bitcast to bytes.  One buffer means ONE device->host
+    fetch per frame: the benchmark TPU sits behind a relay measured at
+    ~50 ms per fetch round-trip and ~45 MB/s d2h, so the old contract
+    (float maps + 9 separate fetches, ~9 MB) cost ~0.7 s/frame in pure
+    transfer.
+
+    `small=TransformPlan` (the fused serving contract): [th + k, tw, 4]
+    — the instance/normal planes are downsized ON DEVICE to the textural
+    stage's conditioning resolution with ops/pil_resize (bit-exact to
+    the PIL transform the host would apply, pinned by
+    tests/test_pil_resize.py), so the frame fetch shrinks ~6x (2.8 MB →
+    0.5 MB at VKITTI size).  The depth plane is dropped: the edit
+    conditioning never consumes it (edit_vkitti.py:62-107)."""
+    inst_u8 = inst.astype(jnp.uint8)
     # quantize BEFORE the CHW->HWC transpose: same values (elementwise op
     # commutes with transpose), but the layout shuffle moves uint8
     # instead of f32
     nrm_u8 = jnp.transpose(
         jnp.clip(nrm * 255, 0, 255).astype(jnp.uint8), (1, 2, 0))
+    if small is not None:
+        inst_s = pil_resize.apply_plan_u8(inst_u8, small, nearest=True)
+        nrm_s = pil_resize.apply_plan_u8(nrm_u8, small)
+        body = jnp.concatenate([inst_s[..., None], nrm_s], axis=-1)
+        return jnp.concatenate(
+            [body, _smalls_tail(out, small.out_w, 4)], axis=0)
     dep_u16 = (jnp.clip(dep, 0, 1) * 65535).astype(jnp.uint16)
     dep_lo = (dep_u16 & 0xFF).astype(jnp.uint8)[..., None]
     dep_hi = (dep_u16 >> 8).astype(jnp.uint8)[..., None]
-    png = jnp.concatenate([inst_u8, nrm_u8, dep_lo, dep_hi], axis=-1)
-
-    smalls = [jax.lax.bitcast_convert_type(
-        out[k].astype(jnp.float32), jnp.uint8).reshape(-1)
-        for k in _SMALL_KEYS]
-    sv = jnp.concatenate(smalls)
-    row = W * 6
-    k = -(-int(sv.size) // row)
-    sv = jnp.pad(sv, (0, k * row - int(sv.size))).reshape(k, W, 6)
-    return jnp.concatenate([png, sv], axis=0)
+    png = jnp.concatenate([inst_u8[..., None], nrm_u8, dep_lo, dep_hi],
+                          axis=-1)
+    W = inst.shape[1]
+    return jnp.concatenate([png, _smalls_tail(out, W, 6)], axis=0)
 
 
 def _unpack_packed(packed_np: np.ndarray, out, height: int):
-    """Host-side inverse of _pack_frame_device: (png [H, W, 6] uint8,
+    """Host-side inverse of _pack_frame_device: (body [H, W, C] uint8,
     {key: np array in the original dtype/shape}).  Shapes/dtypes come
-    from the device arrays' metadata (no transfer)."""
+    from the device arrays' metadata (no transfer).  `height` is the
+    body row count (frame H for the full contract, plan.out_h for the
+    small serving contract)."""
     png = packed_np[:height]
     tail = packed_np[height:].tobytes()
     smalls = {}
@@ -180,7 +212,7 @@ def _unpack_packed(packed_np: np.ndarray, out, height: int):
 
 @functools.lru_cache(maxsize=None)
 def _render_composite_jit(mode: int, image_size: int, render_size: int,
-                          height: int, width: int):
+                          height: int, width: int, small=None):
     @jax.jit
     def fn(blob, bank, interests, obj_valid):
         out = render_blob(blob, bank, mode, image_size, render_size,
@@ -192,7 +224,7 @@ def _render_composite_jit(mode: int, image_size: int, render_size: int,
             out.get("_depth_maps", jnp.ones_like(out["_masks"]) * 100.0),
             out["_center2ds"], out["_zooms"], out["_depths"],
             interests, height=height, width=width, render_size=render_size)
-        packed = _pack_frame_device(out, inst, nrm, dep)
+        packed = _pack_frame_device(out, inst, nrm, dep, small=small)
         return out, inst, nrm, dep, packed
 
     return fn
@@ -204,8 +236,18 @@ def encode_objects(variables, model: Derenderer, objs: Dict[str, np.ndarray],
     """Run the derenderer encoder over all object slots (main.py:385-402).
 
     jit-cached per model: repeated frames (the 92-pair benchmark loop)
-    re-use the compiled program.  Returns (device blob, packed bytes)."""
-    return _encode_jit(model)(variables, jnp.asarray(objs["rgbs"]),
+    re-use the compiled program.  Returns (device blob, packed bytes).
+
+    When the encoder trunk computes in bfloat16, the object crops are
+    pre-cast on host before upload: the trunk's first conv would cast
+    them on device anyway (same round-to-nearest-even), so shipping
+    bf16 is value-identical and halves the largest h2d transfer of the
+    serving chain (16x256x256x3 f32 = 12.6 MB -> 6.3 MB); pinned by
+    tests/test_derender_infer.py::test_encode_bf16_upload_is_exact."""
+    rgbs = objs["rgbs"]
+    if model.dtype == jnp.bfloat16:
+        rgbs = rgbs.astype(jnp.bfloat16)           # ml_dtypes RNE cast
+    return _encode_jit(model)(variables, jnp.asarray(rgbs),
                               jnp.asarray(objs["roi_norms"]),
                               jnp.asarray(objs["focals"]))
 
@@ -323,8 +365,12 @@ def derender_encode(
     cfg = cfg or DerenderInferConfig()
     with phases.phase("geo.prep"):
         objs = prepare_objects(image_rgb, rois, image_masks, class_ids,
-                               cfg, all_interested)
-        phases.add_bytes("geo.prep", objs["rgbs"], objs["masks"])
+                               cfg, all_interested,
+                               with_masks=cfg.num_opts > 0)
+        if cfg.num_opts:
+            phases.add_bytes("geo.prep", objs["rgbs"], objs["masks"])
+        else:
+            phases.add_bytes("geo.prep", objs["rgbs"])
     with phases.phase("geo.encode"):
         blob, packed = phases.block(
             encode_objects(variables, model, objs, cfg))
@@ -376,6 +422,7 @@ def derender_image(
     metas: Optional[List[dict]] = None,
     encoded: Optional[Tuple[Dict[str, np.ndarray],
                             Dict[str, object]]] = None,
+    small_plan=None,
 ) -> Dict[str, object]:
     """Full single-image geometric inference (main.py:325-622).
 
@@ -383,6 +430,13 @@ def derender_image(
     depth_map [H, W] in [0,1], json_obj (per-object class/depth/alpha),
     state (3D pkl equivalent), interests.  `encoded` optionally carries a
     cached derender_encode result for this frame.
+
+    `small_plan` (a pil_resize.TransformPlan) switches the host contract
+    to the fused serving shape: the quantized instance/normal planes are
+    downsized on device to the textural conditioning resolution
+    (bit-exact to the host PIL transform) and fetched in place of the
+    full-resolution maps — `instance_small`/`normal_small` keys replace
+    `instance_png`/`normal_png`/`depth_png`.
     """
     cfg = cfg or DerenderInferConfig()
     H, W = image_rgb.shape[:2]
@@ -396,7 +450,8 @@ def derender_image(
         blob_t, interests = _edited_blob(objs, blob, operations)
     with phases.phase("geo.render"):
         out, inst, nrm, dep, packed = phases.block(_render_composite_jit(
-            cfg.mode, cfg.image_size, cfg.render_size, H, W)(
+            cfg.mode, cfg.image_size, cfg.render_size, H, W,
+            small=small_plan)(
             blob_t, bank, jnp.asarray(interests),
             jnp.asarray(objs["valid"])))
 
@@ -404,7 +459,8 @@ def derender_image(
         packed_np = np.asarray(packed)      # the ONE d2h fetch per frame
         phases.add_bytes("geo.package", packed_np)
         return _package_frame(objs, rois, interests, out, inst, nrm, dep,
-                              packed_np, metas=metas)
+                              packed_np, metas=metas,
+                              small_plan=small_plan)
 
 
 def _edited_blob(objs, blob, operations: Optional[List[dict]]
@@ -434,7 +490,8 @@ _STATE_KEYS = ("_scales", "_rotations", "_translations", "_zooms",
 
 
 def _package_frame(objs, rois, interests, out, inst, nrm, dep, packed_np,
-                   metas: Optional[List[dict]] = None) -> Dict[str, object]:
+                   metas: Optional[List[dict]] = None,
+                   small_plan=None) -> Dict[str, object]:
     """Host-side packaging of one frame's render outputs into the
     derender_image contract (instance/normal/depth maps + per-object JSON
     + 3D state pkl equivalent, main.py:530-622).  Shared by the
@@ -446,8 +503,13 @@ def _package_frame(objs, rois, interests, out, inst, nrm, dep, packed_np,
     arrays under the legacy `instance_map`/`normal_map`/`depth_map` keys:
     numpy consumers (tests) still work via __array__, but the multi-MB
     device->host transfer now only happens if someone actually reads
-    them — the serving path reads the quantized `*_png` views instead."""
-    height = int(inst.shape[0])
+    them — the serving path reads the quantized `*_png` views instead.
+
+    With `small_plan` the buffer carries the device-downsized serving
+    planes: `instance_small` [th, tw] / `normal_small` [th, tw, 3]
+    replace the full-resolution `*_png` keys."""
+    height = (int(inst.shape[0]) if small_plan is None
+              else small_plan.out_h)
     png, smalls = _unpack_packed(packed_np, out, height)
 
     json_obj = {}
@@ -468,26 +530,32 @@ def _package_frame(objs, rois, interests, out, inst, nrm, dep, packed_np,
              "interests": interests}
     state.update({k: smalls[k] for k in _STATE_KEYS})
 
-    return {
-        # quantized host views (the serving + file contract):
-        "instance_png": np.ascontiguousarray(png[..., 0]),
-        "normal_png": np.ascontiguousarray(png[..., 1:4]),
-        "depth_png": (png[..., 4].astype(np.uint16)
-                      | (png[..., 5].astype(np.uint16) << 8)),
+    result = {
         # legacy full-precision views (lazy device arrays):
-        "instance_map": png[..., 0].astype(np.int32),
+        "instance_map": inst,
         "normal_map": nrm,
         "depth_map": dep,
         "json_obj": json_obj,
         "state": state,
         "interests": interests,
     }
+    if small_plan is None:
+        # quantized host views (the serving + file contract):
+        result["instance_png"] = np.ascontiguousarray(png[..., 0])
+        result["normal_png"] = np.ascontiguousarray(png[..., 1:4])
+        result["depth_png"] = (png[..., 4].astype(np.uint16)
+                               | (png[..., 5].astype(np.uint16) << 8))
+        result["instance_map"] = png[..., 0].astype(np.int32)
+    else:
+        result["instance_small"] = np.ascontiguousarray(png[..., 0])
+        result["normal_small"] = np.ascontiguousarray(png[..., 1:4])
+    return result
 
 
 @functools.lru_cache(maxsize=None)
 def _render_composite_batch_jit(mode: int, image_size: int,
                                 render_size: int, height: int, width: int,
-                                n_frames: int):
+                                n_frames: int, small=None):
     """Multi-frame variant of _render_composite_jit: N frames' padded
     object slots flatten into ONE [N*M]-object render program (objects
     are independent through render_blob — same raster kernel, bigger
@@ -512,7 +580,8 @@ def _render_composite_batch_jit(mode: int, image_size: int,
                 o.get("_depth_maps", jnp.ones_like(o["_masks"]) * 100.0),
                 o["_center2ds"], o["_zooms"], o["_depths"], i,
                 height=height, width=width, render_size=render_size)
-            return inst, nrm, dep, _pack_frame_device(o, inst, nrm, dep)
+            return inst, nrm, dep, _pack_frame_device(o, inst, nrm, dep,
+                                                      small=small)
 
         inst, nrm, dep, packed = jax.vmap(comp)(out, interests)
         return out, inst, nrm, dep, packed
@@ -527,6 +596,7 @@ def derender_images_batch(
     frames: List[Dict[str, object]],
     cfg: Optional[DerenderInferConfig] = None,
     sharding=None,
+    small_plan=None,
 ) -> List[Dict[str, object]]:
     """Batched multi-frame geometric inference.
 
@@ -580,7 +650,8 @@ def derender_images_batch(
         outN, instN, nrmN, depN, packedN = phases.block(
             _render_composite_batch_jit(
                 cfg.mode, cfg.image_size, cfg.render_size, H, W,
-                len(frames))(stacked, bank, interests_b, valid_b))
+                len(frames), small=small_plan)(
+                stacked, bank, interests_b, valid_b))
 
     with phases.phase("geo.package"):
         packed_np = np.asarray(packedN)     # ONE d2h fetch for the chunk
@@ -591,5 +662,5 @@ def derender_images_batch(
             results.append(_package_frame(
                 objs, frames[i]["rois"], interests, out_i,
                 instN[i], nrmN[i], depN[i], packed_np[i],
-                metas=frames[i].get("metas")))
+                metas=frames[i].get("metas"), small_plan=small_plan))
     return results

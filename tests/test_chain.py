@@ -215,3 +215,79 @@ def test_batched_chain_matches_single(chain_env):
                                    s["geo"]["normal_map"], atol=1e-6)
         assert b["geo"]["json_obj"].keys() == s["geo"]["json_obj"].keys()
         np.testing.assert_allclose(b["fake"], s["fake"], atol=2e-5)
+
+
+@pytest.mark.slow
+def test_small_fetch_matches_full_fetch(chain_env):
+    """The device-downsized serving contract (ChainConfig.small_fetch:
+    instance/normal planes resized on device with ops/pil_resize and
+    fetched at conditioning resolution) must be output-identical to the
+    full-resolution fetch + host PIL path — in both single and batched
+    chain modes."""
+    from PIL import Image
+
+    from sdn3d_tpu.cli.geometric_main import _keep_largest
+    from sdn3d_tpu.data import vkitti as VK
+    from sdn3d_tpu.pipelines.chain import ChainConfig, EditChain
+
+    work, root, edit_json = chain_env
+    # fine 160x48 == scale_width(load 160) of a 1242x375 frame, so the
+    # transform plan is valid (the 160x96 shapes used elsewhere force
+    # the host-path fallback because PIL would zero-pad)
+    kw = dict(scales=(100,), image_size=64, render_size=64,
+              load_size=160, fine_width=160, fine_height=48)
+    chain_small = EditChain.build(ChainConfig(small_fetch=True, **kw),
+                                  SHAPENET)
+    chain_full = EditChain.build(ChainConfig(small_fetch=False, **kw),
+                                 SHAPENET)
+    items = VK.benchmark_split(VK.load_edit_json(edit_json))
+    table_inst = VK.get_tables("inst", root)
+
+    requests = []
+    for item in items:
+        frame = int(item.source)
+        image = np.asarray(Image.open(VK.rgb_path(
+            root, item.world, item.topic, frame)).convert("RGB"))
+        dets = _keep_largest(chain_small.infer_cfg, *VK.gt_objects(
+            root, item.world, item.topic, frame, table_inst))
+        requests.append({"image_rgb": image,
+                         "operations": item.operations,
+                         "dets": dets, "cache_key": item.source_name})
+
+    assert chain_small._small_plan(requests[0]["image_rgb"].shape) \
+        is not None, "plan must be valid at these shapes"
+
+    for r in requests:
+        s = chain_small.edit_frame(r["image_rgb"],
+                                   operations=r["operations"],
+                                   dets=r["dets"],
+                                   cache_key=r["cache_key"])
+        f = chain_full.edit_frame(r["image_rgb"],
+                                  operations=r["operations"],
+                                  dets=r["dets"],
+                                  cache_key=r["cache_key"])
+        assert "instance_small" in s["geo"]
+        assert "instance_png" in f["geo"]
+        # the serving planes == PIL transform of the full-res planes
+        np.testing.assert_array_equal(s["geo"]["instance_small"],
+                                      np.asarray(Image.fromarray(
+                                          f["geo"]["instance_png"]).resize(
+                                          (160, 48), Image.NEAREST)))
+        np.testing.assert_array_equal(s["geo"]["normal_small"],
+                                      np.asarray(Image.fromarray(
+                                          f["geo"]["normal_png"]).resize(
+                                          (160, 48), Image.BICUBIC)))
+        # identical final output, bit for bit
+        np.testing.assert_array_equal(s["fake"], f["fake"])
+        assert s["geo"]["json_obj"] == f["geo"]["json_obj"]
+
+    # batched small path == single small path (and hence == full)
+    batched = chain_small.edit_frames(requests)
+    for r, b in zip(requests, batched):
+        s = chain_small.edit_frame(r["image_rgb"],
+                                   operations=r["operations"],
+                                   dets=r["dets"],
+                                   cache_key=r["cache_key"])
+        np.testing.assert_array_equal(b["geo"]["instance_small"],
+                                      s["geo"]["instance_small"])
+        np.testing.assert_array_equal(b["fake"], s["fake"])

@@ -168,3 +168,33 @@ def test_prepare_objects_hoisted_conversion_is_byte_exact(setup):
     objs_u8 = prepare_objects(image, rois, masks.astype(np.uint8),
                               class_ids, cfg)
     assert np.array_equal(objs_u8["masks"], objs["masks"])
+
+
+def test_encode_bf16_upload_is_exact(setup):
+    """encode_objects pre-casts the crop upload to bf16 when the trunk
+    computes in bf16.  The trunk's first conv applies the same
+    round-to-nearest-even cast on device, so the pre-cast upload (half
+    the bytes over the host link) must leave every encoder output
+    bit-identical to uploading float32."""
+    from sdn3d_tpu.pipelines.derender_infer import (_encode_jit,
+                                                    encode_objects,
+                                                    prepare_objects)
+
+    _m, _v, _bank, cfg = setup
+    model16 = Derenderer(num_classes=2, dtype=jnp.bfloat16)
+    variables = model16.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 2)),
+        jnp.zeros((1, 2)), train=False)
+    image, rois, masks, class_ids = fake_scene()
+    objs = prepare_objects(image, rois, masks, class_ids, cfg)
+
+    blob_pre, packed_pre = encode_objects(variables, model16, objs, cfg)
+    blob_f32, packed_f32 = _encode_jit(model16)(
+        variables, jnp.asarray(objs["rgbs"]),
+        jnp.asarray(objs["roi_norms"]), jnp.asarray(objs["focals"]))
+
+    np.testing.assert_array_equal(np.asarray(packed_pre),
+                                  np.asarray(packed_f32))
+    for k in blob_f32:
+        np.testing.assert_array_equal(np.asarray(blob_pre[k]),
+                                      np.asarray(blob_f32[k]), err_msg=k)
