@@ -16,3 +16,11 @@ object slots, and multi-device scaling uses jax.sharding meshes.
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache for every entry point (CLI, bench,
+# driver, tests) — without it each process replays multi-minute relay
+# compiles for programs compiled a hundred times before (core/cache.py).
+from sdn3d_tpu.core.cache import enable_compilation_cache as _enable_cache
+
+_enable_cache()
+del _enable_cache

@@ -141,8 +141,14 @@ def assemble_edit_conditioning(trainer, state, base_img_t, base_label,
         # integer-valued: the uint8 cast is lossless
         normal_u8 = normal_png.astype(np.uint8)
     else:
+        # absent normal (the reference's 'no cars' frame,
+        # textural/edit_vkitti.py:88-95): the generator must see EXACT
+        # 0.0 conditioning, not the uint8 normalization of zero bytes
+        # (~-0.996) — normal_u8=None makes the caller ship a zeroed
+        # plane plus a validity flag that fake_inference applies AFTER
+        # its uint8 normalization (see generate_edit_batch).
         maps["normal"] = np.zeros(base_img_t.shape, np.float32)
-        normal_u8 = np.zeros(base_img_t.shape, np.uint8)
+        normal_u8 = None
 
     # source texture codes, by target instance id
     cfg = trainer.cfg
@@ -231,7 +237,14 @@ def generate_edit_batch(trainer, state, items, wh, args):
             "pose": jnp.asarray(np.stack(
                 [m["pose"] for m, _, _, _ in assembled]).astype(np.uint8)),
             "normal": jnp.asarray(np.stack(
-                [n for _, _, _, n in assembled])),
+                [n if n is not None
+                 else np.zeros(items[i]["base_img_t"].shape, np.uint8)
+                 for i, (_, _, _, n) in enumerate(assembled)])),
+            # 1 where the frame HAS a normal map; frames without one
+            # (normal_u8 is None) must condition on exact f32 zeros, so
+            # fake_inference zeroes them after the uint8 normalization
+            "normal_valid": jnp.asarray(np.asarray(
+                [n is not None for _, _, _, n in assembled], np.float32)),
         }
         if trainer.cfg.use_global_encoder:
             batch["image"] = jnp.asarray(np.stack(

@@ -1,0 +1,45 @@
+"""Persistent XLA compilation cache, on for every sdn3d_tpu entry point.
+
+The benchmark TPU sits behind a relay whose jit compiles are both slow and
+high-variance (the SAME fused semantic program was observed compiling in
+219 s / 1153 s / 159 s across processes, NOTES_ROUND3.md) — any CLI run
+without the persistent cache replays that lottery.  The reference has no
+counterpart (PyTorch kernels ship precompiled); for an XLA framework the
+cache IS the precompiled-kernel story, so it belongs in the package, not
+in one benchmark script.
+
+`enable_compilation_cache()` is idempotent and called from
+`sdn3d_tpu/__init__.py`, covering all 13 CLIs, bench.py, the driver entry
+points and the test suite.  Opt out with SDN3D_NO_COMPILATION_CACHE=1;
+redirect with JAX_COMPILATION_CACHE_DIR or SDN3D_CACHE_DIR.
+"""
+
+from __future__ import annotations
+
+import os
+
+DEFAULT_CACHE_DIR = "/tmp/sdn3d_jax_cache"
+
+
+def enable_compilation_cache() -> str | None:
+    """Point JAX's persistent compilation cache at a shared directory.
+
+    Returns the cache dir in effect, or None when disabled.  Safe to call
+    before or after backends initialize (the config flag is read at
+    compile time, not backend-init time)."""
+    if os.environ.get("SDN3D_NO_COMPILATION_CACHE"):
+        return None
+    cache_dir = (os.environ.get("JAX_COMPILATION_CACHE_DIR")
+                 or os.environ.get("SDN3D_CACHE_DIR")
+                 or DEFAULT_CACHE_DIR)
+    # keep subprocesses (CLI stages spawned by scripts, PrefetchLoader
+    # workers) on the same cache
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+    except Exception:
+        # leave the env var as the fallback; jax reads it at config init
+        pass
+    return cache_dir

@@ -115,9 +115,29 @@ def _encode_jit(model: Derenderer):
     return fn
 
 
+@functools.lru_cache(maxsize=1)
+def _verify_bitcast_order() -> bool:
+    """One-time self-check that jax.lax.bitcast_convert_type(f32->uint8)
+    emits bytes in the order np.frombuffer(np.float32) expects.  That
+    minor-dimension byte order is an XLA implementation detail; on a
+    backend where it differs every packed fetch would silently scramble —
+    fail loudly instead (runs one tiny jit per process at first unpack)."""
+    probe = np.asarray([1.0, -2.5, 3.0e-5, 65504.0], np.float32)
+    dev = jax.jit(lambda x: jax.lax.bitcast_convert_type(
+        x, jnp.uint8).reshape(-1))(jnp.asarray(probe))
+    host = np.frombuffer(np.asarray(dev).tobytes(), np.float32)
+    if not np.array_equal(host, probe):
+        raise RuntimeError(
+            "bitcast_convert_type(f32->uint8) byte order does not match "
+            "np.frombuffer on this backend; the packed serving contract "
+            f"(_unpack_blob/_unpack_packed) would corrupt data: {host!r}")
+    return True
+
+
 def _unpack_blob(packed_np: np.ndarray, blob) -> Dict[str, np.ndarray]:
     """Host inverse of _encode_jit's packed output (shapes/dtypes from
     the device blob's metadata; no per-leaf transfer)."""
+    _verify_bitcast_order()
     out = {}
     buf = packed_np.tobytes()
     off = 0
@@ -196,6 +216,7 @@ def _unpack_packed(packed_np: np.ndarray, out, height: int):
     from the device arrays' metadata (no transfer).  `height` is the
     body row count (frame H for the full contract, plan.out_h for the
     small serving contract)."""
+    _verify_bitcast_order()
     png = packed_np[:height]
     tail = packed_np[height:].tobytes()
     smalls = {}

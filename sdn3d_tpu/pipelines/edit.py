@@ -169,6 +169,14 @@ def composite_objects(
 
     method="loop": the original gather-based fori_loop paste, kept as
     the associativity-exact reference path.
+
+    Parity caveat: the matmul path's binarization (round of the
+    interpolated mask) matches the loop path empirically (pinned at
+    synthetic + serving shapes incl. masks seeded 1 ulp around 0.5,
+    tests/test_edit_pipeline.py), but a value landing WITHIN 1 ulp of
+    0.5 after a differently-fused interpolation could in principle round
+    apart on a new backend.  Dumps that must be associativity-exact
+    should pass method="loop".
     """
     N = masks.shape[0]
     order = jnp.argsort(-depths[:, 0])              # far to near

@@ -419,6 +419,12 @@ class TexturalTrainer:
             # (textural_data.py: (x/255 - 0.5)/0.5 + 1/255), same f32 ops
             normal = (normal.astype(jnp.float32) / 255.0 - 0.5) / 0.5 \
                 + 1.0 / 255.0
+        if normal is not None and "normal_valid" in batch:
+            # frames with NO normal map (the reference's 'no cars' case,
+            # textural/edit_vkitti.py:88-95) condition on exact 0.0 — the
+            # uint8 normalization above would turn their zero bytes into
+            # ~-0.996, silently shifting feat_normal generators.
+            normal = normal * batch["normal_valid"][:, None, None, None]
         g_in = assemble_generator_input(
             c, input_label, feat_map, batch.get("pose"),
             normal, batch.get("depth"))

@@ -10,6 +10,23 @@ import jax
 import jax.numpy as jnp
 
 
+def test_compilation_cache_wired_into_package():
+    """Importing sdn3d_tpu (what every `python -m sdn3d_tpu.cli.*` entry
+    point does first) must point JAX's persistent compilation cache at
+    the shared dir — direct CLI invocations otherwise replay the relay's
+    multi-minute compile lottery outside the benchmark script
+    (core/cache.py; NOTES_ROUND3.md observed 219 s / 1153 s / 159 s for
+    the SAME program)."""
+    import sdn3d_tpu  # noqa: F401  (already imported; idempotent)
+    from sdn3d_tpu.core.cache import (DEFAULT_CACHE_DIR,
+                                      enable_compilation_cache)
+
+    d = enable_compilation_cache()
+    assert d == os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               DEFAULT_CACHE_DIR)
+    assert jax.config.jax_compilation_cache_dir == d
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from sdn3d_tpu.core.checkpoint import (
         save_checkpoint, restore_checkpoint, latest_step, load_meta)

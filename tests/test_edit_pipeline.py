@@ -307,3 +307,47 @@ def test_composite_matmul_matches_loop():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(d_mm), np.asarray(d_lp),
                                atol=1e-6)
+
+
+@pytest.mark.slow
+def test_composite_matmul_matches_loop_serving_shape():
+    """matmul==loop instance-map parity at the SERVING shape (16 objects,
+    375x1242, render_size 384) with adversarial masks: anti-aliased soft
+    edges plus values seeded exactly at 0.5 +/- 1 ulp, the boundary where
+    the two paths' post-interpolation binarization could in principle
+    round apart.  Exact-parity dumps should use method='loop' if this
+    ever diverges on a new backend (see composite_objects docstring)."""
+    from sdn3d_tpu.data.vkitti import Camera
+    from sdn3d_tpu.pipelines.edit import composite_objects
+
+    rng = np.random.RandomState(7)
+    N, R = 16, 384
+    H, W = Camera.height, Camera.width
+    masks = np.zeros((N, 1, R, R), np.float32)
+    half = np.float32(0.5)
+    for k in range(N):
+        a, b = rng.randint(4, R // 2, 2)
+        h, w = rng.randint(40, 160, 2)
+        masks[k, 0, a:a + h, b:b + w] = 1.0
+        # soft 2px border (fractional interpolation inputs)
+        masks[k, 0, a:a + h, b] = 0.5
+        masks[k, 0, a, b:b + w] = np.nextafter(half, np.float32(0.0))
+        masks[k, 0, min(a + h, R - 1), b:b + w] = np.nextafter(
+            half, np.float32(1.0))
+    normals = rng.rand(N, 3, R, R).astype(np.float32) * 2 - 1
+    depth_maps = rng.rand(N, 1, R, R).astype(np.float32) * 50
+    center2ds = (rng.rand(N, 2).astype(np.float32) - 0.5) * 0.2
+    zooms = (rng.rand(N, 1).astype(np.float32) * 3 + 1)
+    depths = rng.rand(N, 1).astype(np.float32) * 30 + 5
+    interests = np.ones((N,), np.uint8)
+
+    args = (jnp.asarray(masks), jnp.asarray(normals),
+            jnp.asarray(depth_maps), jnp.asarray(center2ds),
+            jnp.asarray(zooms), jnp.asarray(depths),
+            jnp.asarray(interests))
+    i_mm, _, _ = composite_objects(*args, method="matmul", height=H,
+                                   width=W, render_size=R)
+    i_lp, _, _ = composite_objects(*args, method="loop", height=H,
+                                   width=W, render_size=R)
+    np.testing.assert_array_equal(np.asarray(i_mm), np.asarray(i_lp))
+    assert np.asarray(i_mm).max() >= 1

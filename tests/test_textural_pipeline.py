@@ -72,6 +72,36 @@ def test_fake_inference_shape_and_range(setup):
     assert float(jnp.abs(out).max()) <= 1.0
 
 
+@pytest.mark.slow
+def test_fake_inference_absent_normal_is_exact_zero(setup):
+    """A frame with NO normal map (the reference's 'no cars' case,
+    textural/edit_vkitti.py:88-95) must condition the generator on exact
+    f32 zeros.  The serving path ships normals as uint8 with on-device
+    normalization ((x/255-0.5)/0.5+1/255), which maps zero BYTES to
+    ~-0.996 — `normal_valid` zeroes those frames after normalization."""
+    trainer, state, batch = setup
+    H, W = batch["normal"].shape[1:3]
+    # reference/file path: exact f32 zeros normal
+    ref_batch = dict(batch)
+    ref_batch["normal"] = jnp.zeros((1, H, W, 3), jnp.float32)
+    ref = np.asarray(trainer.fake_inference(state, ref_batch))
+    # serving path: zero uint8 bytes + normal_valid=0
+    srv_batch = dict(batch)
+    srv_batch["normal"] = jnp.zeros((1, H, W, 3), jnp.uint8)
+    srv_batch["normal_valid"] = jnp.asarray([0.0], jnp.float32)
+    srv = np.asarray(trainer.fake_inference(state, srv_batch))
+    np.testing.assert_array_equal(ref, srv)
+    # and normal_valid=1 must NOT disturb the uint8 normalization path
+    u8 = (np.clip(np.asarray(batch["normal"]), 0, 1) * 255).astype(np.uint8)
+    a_batch = dict(batch)
+    a_batch["normal"] = jnp.asarray(u8)
+    a = np.asarray(trainer.fake_inference(state, a_batch))
+    b_batch = dict(a_batch)
+    b_batch["normal_valid"] = jnp.asarray([1.0], jnp.float32)
+    b = np.asarray(trainer.fake_inference(state, b_batch))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_netG_input_channels():
     cfg = TexturalConfig()
     # label 14 + edge 1 + feat 5 + pose 25 + normal 3 (base_options defaults)
