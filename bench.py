@@ -121,22 +121,36 @@ def main():
     #    would bill the dev relay's ~22 MB/s D2H link (~180 ms for 4 MB)
     #    to the render, which real PCIe/ICI does not charge.  Production
     #    consumers (the edit pipeline) keep the maps on device anyway.
-    # 12 iterations: single 5-iter samples spread 76-86 obj/s on the
-    # relay (drift between dispatch bursts); interleaved single-process
-    # measurements put the device time at ~135 ms/iter for this workload.
+    # Median of >= 3 measurement blocks: single-block samples spread
+    # 76-116 obj/s on the relay (drift between dispatch bursts; the
+    # r02->r03 headline slipped 116->110 on single-shot runs with no way
+    # to tell noise from regression).  Each block is 12 fenced
+    # iterations; the headline is the median block and `spread` records
+    # (max - min) / median across blocks so the artifact carries its own
+    # error bars.  Interleaved single-process measurements put the device
+    # time at ~135 ms/iter for this workload.
     n_iters = 12
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        out = step_jit(verts, faces, thetas + 0.01 * (i + 1), trans)
-    np.asarray(out[3])
-    dt = time.perf_counter() - t0
+    n_blocks = 5
+    rates = []
+    k = 0
+    for _ in range(n_blocks):
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            k += 1
+            out = step_jit(verts, faces, thetas + 0.01 * k, trans)
+        np.asarray(out[3])
+        dt = time.perf_counter() - t0
+        rates.append(B * n_iters / dt)
 
-    objects_per_sec = B * n_iters / dt
+    objects_per_sec = float(np.median(rates))
+    spread = (max(rates) - min(rates)) / objects_per_sec
     print(json.dumps({
         "metric": "batched multi-object 2.5D render throughput (sil+normal+depth, 256^2 AA)",
         "value": round(objects_per_sec, 2),
         "unit": "objects/s",
         "vs_baseline": round(objects_per_sec / REFERENCE_OBJECTS_PER_SEC, 2),
+        "spread": round(spread, 3),
+        "blocks": [round(r, 2) for r in rates],
     }))
 
 
