@@ -131,7 +131,7 @@ def main():
         fixture, full_json])
 
     def run_fused(out, source="gt", batch_pairs=None, key="result_fused",
-                  wall_key="fused_chain_s", limit=None):
+                  wall_key="fused_chain_s", limit=None, pipeline=False):
         """Run the fused single-process chain over the fixture; record
         its result row + wall-clock into `out`."""
         fused_dir = os.path.join(work, "fused_" + key)
@@ -141,7 +141,12 @@ def main():
             "--source", source, "--results_dir", fused_dir,
             "--batch_pairs", str(batch_pairs or args.batch_pairs),
             "--compute_dtype", args.compute_dtype]
-        if args.phases:
+        if pipeline:
+            # NOTE: never combined with --phases — the phase barriers
+            # (utils/phases.block) would serialize exactly the overlap
+            # the pipelined mode exists to create
+            cmd.append("--pipeline")
+        elif args.phases:
             cmd.append("--phases")
         if limit:
             cmd += ["--limit", str(limit)]
@@ -165,17 +170,24 @@ def main():
         run_fused(out, source="gt", batch_pairs=8,
                   key="result_fused_batched8",
                   wall_key="fused_batched8_chain_s")
+        run_fused(out, source="gt", batch_pairs=8, pipeline=True,
+                  key="result_fused_pipelined8",
+                  wall_key="fused_pipelined8_chain_s")
         run_fused(out, source="maskrcnn", batch_pairs=1,
                   key="result_fused_maskrcnn",
                   wall_key="fused_maskrcnn_chain_s")
+        run_fused(out, source="maskrcnn", batch_pairs=8, pipeline=True,
+                  key="result_fused_maskrcnn_pipelined8",
+                  wall_key="fused_maskrcnn_pipelined8_chain_s")
         out["serving_matrix_note"] = (
-            "all three fused rows measured back-to-back in one "
-            "serving_matrix invocation on the same device; gt rows "
-            "differ only in --batch_pairs; the maskrcnn row runs "
-            "Mask R-CNN detection in-path per source frame "
-            "(keep-<=16-largest, scripts/main.py:812-818) with random "
-            "detector weights — protocol/timing-honest, not "
-            "quality-meaningful")
+            "all fused rows measured back-to-back in one serving_matrix "
+            "invocation on the same device; gt rows differ only in "
+            "--batch_pairs/--pipeline (pipelined rows never carry "
+            "--phases: the attribution barriers would serialize the "
+            "overlap being measured); the maskrcnn rows run Mask R-CNN "
+            "detection in-path per source frame (keep-<=16-largest, "
+            "scripts/main.py:812-818) with random detector weights — "
+            "protocol/timing-honest, not quality-meaningful")
         with open(args.out, "w") as f:
             json.dump(out, f, indent=2)
         print(json.dumps(out, indent=2))

@@ -1,0 +1,268 @@
+"""TPU training-throughput benchmark: hardware step time + examples/s
+for all four trainers at production shapes, f32 and bf16, single chip.
+
+Rows (shapes follow the reference training configs):
+  semantic    B=2,  376x1248 frames, os-8 labels      (vkitti_train.py:20-71)
+  textural    B=1,  192x624 G+D+VGG, pool in loop     (textural/train.py:52-144)
+  detect      B=1,  1024^2 Mask R-CNN stage=all       (maskrcnn/model.py:1823-1963)
+  derenderer  B=64, full mode, 256^2 crops, 384 render (bulb/net.py:100-197)
+
+Writes TRAIN_BENCH.json at the repo root (merged into by --out).
+
+Measurement notes (axon relay): inputs vary per iteration (identical
+executions are cached), materializing an output is the only reliable
+fence, first call carries the jit compile (reported separately).
+
+Usage: python scripts/train_bench.py [--iters 6] [--rows semantic,...]
+       [--dtypes float32,bfloat16] [--out TRAIN_BENCH.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _fence(tree):
+    import jax
+    np.asarray(jax.tree_util.tree_leaves(tree)[0])
+
+
+def _measure(run_one, iters):
+    """run_one(i) -> output tree.  Returns (compile+first s, steady ms)."""
+    t0 = time.perf_counter()
+    _fence(run_one(0))
+    first_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = None
+    for i in range(1, iters + 1):
+        out = run_one(i)
+    _fence(out)
+    steady_ms = (time.perf_counter() - t0) / iters * 1e3
+    return first_s, steady_ms
+
+
+def bench_semantic(dtype, iters):
+    import jax
+    import jax.numpy as jnp
+
+    from sdn3d_tpu.models.semantic import SemanticModel
+    from sdn3d_tpu.pipelines.semantic import SemanticTrainer
+
+    B, H, W = 2, 376, 1248            # 375x1242 frames padded x8
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    labels = jnp.asarray(
+        rng.randint(0, 14, (B, H // 8, W // 8)).astype(np.int32))
+    trainer = SemanticTrainer(model=SemanticModel(
+        num_class=14, dtype=jnp.dtype(dtype)))
+    state = trainer.init(jax.random.PRNGKey(0), images[:1, :64, :64])
+    step = jax.jit(trainer.make_train_step())
+
+    holder = {"state": state}
+
+    def run(i):
+        holder["state"], metrics = step(
+            holder["state"], images + 1e-5 * i, labels,
+            jax.random.PRNGKey(i))
+        return metrics
+
+    first_s, ms = _measure(run, iters)
+    return {"batch": B, "shape": f"{H}x{W}", "first_s": round(first_s, 1),
+            "step_ms": round(ms, 1),
+            "examples_per_s": round(B / (ms / 1e3), 2)}
+
+
+def bench_textural(dtype, iters):
+    import jax
+    import jax.numpy as jnp
+
+    from sdn3d_tpu.pipelines.textural import TexturalConfig, TexturalTrainer
+
+    B, H, W = 1, 192, 624
+    cfg = TexturalConfig(compute_dtype=dtype)    # production arch + VGG
+    trainer = TexturalTrainer(cfg)
+    rng = np.random.RandomState(0)
+    inst = np.zeros((B, H, W), np.int32)
+    inst[:, :, W // 2:] = 1
+    base = {
+        "label": jnp.asarray(rng.randint(0, 14, (B, H, W)).astype(np.int32)),
+        "inst": jnp.asarray(inst),
+        "inst_slots": jnp.asarray(inst),
+        "pose": jnp.asarray(rng.randint(0, 25, (B, H, W)).astype(np.int32)),
+        "normal": jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32)),
+    }
+    image = rng.rand(B, H, W, 3).astype(np.float32) * 2 - 1
+    state = trainer.init(jax.random.PRNGKey(0), H, W)
+    g_step = jax.jit(trainer.make_g_step())
+    d_step = jax.jit(trainer.make_d_step())
+
+    holder = {"state": state}
+
+    def run(i):
+        key = jax.random.PRNGKey(i)
+        batch = dict(base, image=jnp.asarray(image + 1e-5 * i))
+        holder["state"], g_losses = g_step(holder["state"], batch, key)
+        fake_concat = trainer.pooled_fake_concat(holder["state"], batch,
+                                                 key)
+        holder["state"], d_losses = d_step(holder["state"], batch, key,
+                                           fake_concat=fake_concat)
+        return d_losses
+
+    first_s, ms = _measure(run, iters)
+    return {"batch": B, "shape": f"{H}x{W}", "first_s": round(first_s, 1),
+            "step_ms": round(ms, 1),
+            "examples_per_s": round(B / (ms / 1e3), 2),
+            "note": "one G step + pool + one D step per iteration "
+                    "(train.py:86-95 alternation), VGG loss on"}
+
+
+def bench_detect(dtype, iters):
+    import jax
+    import jax.numpy as jnp
+
+    from sdn3d_tpu.models.maskrcnn import MaskRCNNConfig
+    from sdn3d_tpu.models.maskrcnn_train import build_rpn_targets
+    from sdn3d_tpu.pipelines.detect_train import MaskRCNNTrainer
+
+    cfg = MaskRCNNConfig(compute_dtype=dtype)     # 1024^2 production
+    trainer = MaskRCNNTrainer(config=cfg, stage="all")
+    D = cfg.image_max_dim
+    rng = np.random.RandomState(0)
+    images = rng.rand(1, D, D, 3).astype(np.float32)
+    gt_boxes_px = np.asarray(
+        [[100, 100, 400, 500], [300, 600, 700, 900],
+         [50, 700, 250, 1000]], np.float32)
+    G = 8
+    gt_ids = jnp.asarray(np.pad(np.asarray([1, 2, 1]), (0, G - 3)))
+    gt_boxes = jnp.asarray(np.pad(gt_boxes_px / D, ((0, G - 3), (0, 0))))
+    gt_masks = jnp.asarray(np.ones((G, 28, 28), np.float32))
+    match, target_bbox = build_rpn_targets(
+        np.asarray(trainer.anchors), gt_boxes_px, cfg)
+    match, target_bbox = jnp.asarray(match), jnp.asarray(target_bbox)
+
+    state = trainer.init(jax.random.PRNGKey(0))
+    step = jax.jit(trainer.make_train_step())
+    holder = {"state": state}
+
+    def run(i):
+        holder["state"], losses = step(
+            holder["state"], jnp.asarray(images + 1e-5 * i), match,
+            target_bbox, gt_ids, gt_boxes, gt_masks, jax.random.PRNGKey(i),
+            trainer.anchors)
+        return losses
+
+    first_s, ms = _measure(run, iters)
+    return {"batch": 1, "shape": f"{D}x{D}", "first_s": round(first_s, 1),
+            "step_ms": round(ms, 1),
+            "examples_per_s": round(1 / (ms / 1e3), 2),
+            "note": "stage=all (every layer trains)"}
+
+
+def bench_derenderer(dtype, iters):
+    import jax
+    import jax.numpy as jnp
+
+    from sdn3d_tpu.geometry.assets import load_shapenet_bank
+    from sdn3d_tpu.models.derenderer import (Derenderer, DeviceMeshBank,
+                                             TargetType)
+    from sdn3d_tpu.pipelines.derender import DerenderTrainer
+
+    B, RENDER = 64, 384
+    FULL = TargetType.pretrain | TargetType.finetune
+    bank = DeviceMeshBank.from_host(
+        load_shapenet_bank("/root/reference/geometric/assets"))
+    model = Derenderer(dtype=jnp.dtype(dtype))
+    rng = np.random.RandomState(0)
+    images = rng.rand(B, 256, 256, 3).astype(np.float32)
+    batch = {
+        "images": jnp.asarray(images),
+        "roi_norms": jnp.asarray(
+            np.stack([np.full(B, 0.2), np.full(B, 0.2),
+                      np.full(B, 0.8), np.full(B, 0.8)], 1)
+            .astype(np.float32)),
+        "focals": jnp.asarray(np.full((B, 1), 725.0, np.float32)),
+        "targets": jnp.asarray(np.full(B, int(FULL), np.int32)),
+        "thetas": jnp.asarray(
+            rng.uniform(-np.pi, np.pi, (B, 1)).astype(np.float32)),
+        "translation2ds": jnp.asarray(
+            rng.randn(B, 2).astype(np.float32) * 0.1),
+        "log_scales": jnp.asarray(rng.randn(B, 3).astype(np.float32) * 0.1),
+        "log_depths": jnp.asarray(
+            np.log(rng.uniform(5, 30, (B, 1))).astype(np.float32)),
+        "masks": jnp.asarray(
+            (rng.rand(B, 1, RENDER, RENDER) > 0.7).astype(np.float32)),
+        "ignores": jnp.zeros((B, 1, RENDER, RENDER), np.float32),
+    }
+    trainer = DerenderTrainer(model=model, bank=None, mode=FULL,
+                              render_size=RENDER)
+    state = trainer.init(jax.random.PRNGKey(0), batch)
+    step = jax.jit(trainer.make_train_step())
+    holder = {"state": state}
+
+    def run(i):
+        b = dict(batch)
+        b["images"] = jnp.asarray(images + 1e-5 * i)
+        holder["state"], losses = step(holder["state"], b,
+                                       jax.random.PRNGKey(i), bank)
+        return losses
+
+    first_s, ms = _measure(run, iters)
+    return {"batch": B, "shape": f"256^2 crops, {RENDER} render "
+                                 f"({RENDER * 2}^2 AA raster)",
+            "first_s": round(first_s, 1), "step_ms": round(ms, 1),
+            "examples_per_s": round(B / (ms / 1e3), 2),
+            "note": "full mode (pretrain|finetune): encoder + "
+                    "differentiable render fwd+bwd + REINFORCE"}
+
+
+ROWS = {
+    "semantic": bench_semantic,
+    "textural": bench_textural,
+    "detect": bench_detect,
+    "derenderer": bench_derenderer,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--rows", default=",".join(ROWS))
+    ap.add_argument("--dtypes", default="bfloat16,float32")
+    ap.add_argument("--out", default=os.path.join(REPO,
+                                                  "TRAIN_BENCH.json"))
+    args = ap.parse_args()
+
+    import jax
+    out = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            out = json.load(f)
+    out["device"] = str(jax.devices()[0])
+    out["iters"] = args.iters
+    for row in args.rows.split(","):
+        for dtype in args.dtypes.split(","):
+            key = f"{row}_{dtype}"
+            print(f"== {key}", flush=True)
+            t0 = time.perf_counter()
+            try:
+                out[key] = ROWS[row](dtype, args.iters)
+            except Exception as e:          # record, keep going
+                out[key] = {"error": repr(e)[:300]}
+            out[key]["wall_s"] = round(time.perf_counter() - t0, 1)
+            print(json.dumps({key: out[key]}), flush=True)
+            with open(args.out, "w") as f:
+                json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -44,6 +44,13 @@ def build_argparser():
                         "render + one batched textural forward per "
                         "chunk; the last chunk is padded by repetition "
                         "so every chunk compiles to the same shape")
+    p.add_argument("--pipeline", action="store_true",
+                   help="overlap chunks in a 3-deep software pipeline "
+                        "(EditChain.edit_frames_pipelined): the next "
+                        "chunks' semantic/detect/encode and render run "
+                        "on device while the host packages, conditions "
+                        "and scores the current one; outputs are "
+                        "byte-identical to the serial path")
     # stage shape knobs (defaults = the per-stage CLI defaults)
     p.add_argument("--scales", type=int, nargs="+",
                    default=[100, 150, 200, 300, 375])
@@ -132,24 +139,49 @@ def main(argv=None):
         return {"image_rgb": image, "operations": item.operations,
                 "dets": dets, "cache_key": item.source_name}
 
-    for c0 in range(0, len(items), batch_n):
-        chunk = items[c0:c0 + batch_n]
-        tp = time.perf_counter()
-        requests = [build_request(it) for it in chunk]
-        if batch_n == 1:
-            r = requests[0]
-            outs = [chain.edit_frame(r["image_rgb"],
-                                     operations=r["operations"],
-                                     dets=r["dets"],
-                                     cache_key=r["cache_key"])]
-        else:
-            # pad the tail chunk by repetition: one compiled shape for
-            # every chunk; padded outputs are dropped
-            pad = batch_n - len(requests)
-            outs = chain.edit_frames(requests + [requests[-1]] * pad)
-            outs = outs[:len(requests)]
-        pair_times.append((time.perf_counter() - tp, len(chunk)))
+    chunk_lists = [items[c0:c0 + batch_n]
+                   for c0 in range(0, len(items), batch_n)]
 
+    def run_serial():
+        for chunk in chunk_lists:
+            tp = time.perf_counter()
+            requests = [build_request(it) for it in chunk]
+            if batch_n == 1:
+                r = requests[0]
+                outs = [chain.edit_frame(r["image_rgb"],
+                                         operations=r["operations"],
+                                         dets=r["dets"],
+                                         cache_key=r["cache_key"])]
+            else:
+                # pad the tail chunk by repetition: one compiled shape
+                # for every chunk; padded outputs are dropped
+                pad = batch_n - len(requests)
+                outs = chain.edit_frames(requests + [requests[-1]] * pad)
+                outs = outs[:len(requests)]
+            pair_times.append((time.perf_counter() - tp, len(chunk)))
+            yield chunk, outs
+
+    def run_pipelined():
+        # the generator builds each chunk's requests lazily, so the
+        # pipeline looks exactly one chunk ahead in host memory
+        def gen():
+            for chunk in chunk_lists:
+                requests = [build_request(it) for it in chunk]
+                pad = batch_n - len(requests)
+                yield requests + [requests[-1]] * pad
+        tp = time.perf_counter()
+        for chunk, outs in zip(chunk_lists,
+                               chain.edit_frames_pipelined(gen())):
+            # yield-to-yield wall, excluding this chunk's scoring below
+            # (device work for LATER chunks keeps running during both —
+            # per-chunk walls attribute, the honest end-to-end number is
+            # chain_s/wall_s_total)
+            pair_times.append((time.perf_counter() - tp, len(chunk)))
+            yield chunk, outs[:len(chunk)]
+            tp = time.perf_counter()
+
+    runner = run_pipelined() if args.pipeline else run_serial()
+    for chunk, outs in runner:
         ts = time.perf_counter()
         for item, out in zip(chunk, outs):
             tgt = os.path.join(args.data_root, "vkitti_1.3.1_rgb",
@@ -181,6 +213,7 @@ def main(argv=None):
                           else "random-init (uncalibrated)",
         "pairs": len(l1s),
         "batch_pairs": batch_n,
+        "pipelined": bool(args.pipeline),
         "chain_s": dt,
         "scoring_s": round(scoring_s, 3),
         "stage_s": {k: round(v, 3) for k, v in chain.stage_s.items()},

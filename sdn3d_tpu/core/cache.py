@@ -21,17 +21,27 @@ import os
 DEFAULT_CACHE_DIR = "/tmp/sdn3d_jax_cache"
 
 
-def enable_compilation_cache() -> str | None:
+def enable_compilation_cache(subdir: str | None = None) -> str | None:
     """Point JAX's persistent compilation cache at a shared directory.
 
     Returns the cache dir in effect, or None when disabled.  Safe to call
     before or after backends initialize (the config flag is read at
-    compile time, not backend-init time)."""
+    compile time, not backend-init time).
+
+    `subdir` partitions the cache (e.g. "cpu" for forced-CPU runs):
+    TPU-relay processes also write host-side CPU executables whose
+    recorded machine features can differ from a plain CPU process's —
+    XLA then warns 'could lead to SIGILL' when the other kind of process
+    loads them.  Forced-CPU entry points (tests, dryrun_multichip) use
+    their own partition so the two populations never cross-load."""
     if os.environ.get("SDN3D_NO_COMPILATION_CACHE"):
         return None
     cache_dir = (os.environ.get("JAX_COMPILATION_CACHE_DIR")
                  or os.environ.get("SDN3D_CACHE_DIR")
                  or DEFAULT_CACHE_DIR)
+    if subdir:
+        cache_dir = os.path.join(cache_dir, subdir)
+        os.environ["JAX_COMPILATION_CACHE_DIR"] = cache_dir
     # keep subprocesses (CLI stages spawned by scripts, PrefetchLoader
     # workers) on the same cache
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)

@@ -203,6 +203,28 @@ def transform_rgb(image_rgb: np.ndarray, roi: Sequence[int],
         image_size, fill=0.5, mean=mean, std=std)
 
 
+def transform_rgb_u8(image_rgb: np.ndarray, roi: Sequence[int],
+                     image_size: int = 256,
+                     prescaled: bool = False) -> np.ndarray:
+    """Square-crop + resize an object crop and QUANTIZE to uint8 —
+    normalization happens on device (derender_infer._encode_jit applies
+    ((x/255 - 0.5)/0.25) with the same f32 ops transform_rgb uses).
+
+    uint8 crops are the serving contract: they halve the largest h2d
+    upload of the edit chain again vs bf16, and they are MORE
+    reference-faithful than float crops — the reference's crops ARE
+    uint8, because PIL resizes 'RGB'-mode images in uint8
+    (geometric/derender3d/datasets.py:157-173: crop_square ->
+    resize(224) -> to_tensor -> normalize)."""
+    from sdn3d_tpu.data import native
+    img = (image_rgb if prescaled
+           else np.asarray(image_rgb, np.float32) / 255.0)
+    crop = native.crop_square_resize(
+        img, [int(v) for v in roi], image_size, fill=0.5,
+        mean=(0.0, 0.0, 0.0), std=(1.0, 1.0, 1.0))
+    return np.clip(np.rint(crop * 255.0), 0, 255).astype(np.uint8)
+
+
 def transform_mask(mask: np.ndarray, roi: Sequence[int],
                    render_size: int = 384) -> np.ndarray:
     """Square-crop + resize a binary mask to the render frame."""

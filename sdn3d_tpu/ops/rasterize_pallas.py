@@ -75,6 +75,12 @@ PER_FACE_CULL_V3 = _os.getenv("SDN3D_RASTER_FACE_CULL_V3", "0") == "1"
 # are not bit-identical to v1/XLA on large meshes, only near-identical.
 KERNEL_VERSION = int(_os.getenv("SDN3D_RASTER_KERNEL", "3"))
 VGROUP = 8                # faces per sublane-vectorized group (v2)
+# v3 loop unrolling (the kernel is scalar-SEQUENCING bound at ~90
+# cycles/face): unrolling the face loop issues several faces' scalar
+# reads back-to-back so the scalar unit pipelines across faces instead
+# of serializing on each loop's bound check/branch.
+UNROLL_FACE_V3 = int(_os.getenv("SDN3D_RASTER_UNROLL_FACE", "1"))
+UNROLL_SLAB_V3 = int(_os.getenv("SDN3D_RASTER_UNROLL_SLAB", "1"))
 # v3 tile height cap: the best measured tile is the WHOLE image column
 # (one tile row) — slab bounding makes tall tiles free and culling
 # overhead scales with tile count.
@@ -621,7 +627,8 @@ def _raster_kernel_v3(bbox_ref, aux_ref, face_ref, fi_ref, depth_ref,
                                                                ccur)
                     return c2
 
-                jax.lax.fori_loop(r0 // 8, (r1 + 7) // 8, slab_body, 0)
+                jax.lax.fori_loop(r0 // 8, (r1 + 7) // 8, slab_body, 0,
+                                  unroll=UNROLL_SLAB_V3)
 
             return carry
 
@@ -629,7 +636,8 @@ def _raster_kernel_v3(bbox_ref, aux_ref, face_ref, fi_ref, depth_ref,
             j0 = g * GROUP
 
             def scan_group():
-                return jax.lax.fori_loop(j0, j0 + GROUP, face_body, carry)
+                return jax.lax.fori_loop(j0, j0 + GROUP, face_body, carry,
+                                         unroll=UNROLL_FACE_V3)
 
             return jax.lax.cond(bbox_hit(aux_ref[0, 1, j0]),
                                 scan_group, lambda: carry)

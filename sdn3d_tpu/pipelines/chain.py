@@ -27,6 +27,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from sdn3d_tpu.pipelines.semantic import EVAL_SCALES
+from sdn3d_tpu.utils import phases
 
 
 @dataclasses.dataclass
@@ -432,6 +433,227 @@ class EditChain:
         return [{"label": label, "geo": geo, "fake": fake, "maps": maps}
                 for label, geo, fake, maps in
                 zip(labels, geos, fakes, maps_list)]
+
+    # -- pipelined fused chain ---------------------------------------------
+
+    def _stage_a(self, requests: Sequence[Dict[str, object]]):
+        """Pipeline stage A: dispatch the chunk's semantic programs,
+        run detection (sync — the crops need the masks), prep the object
+        crops and dispatch the encoders, with every d2h fetch started
+        asynchronously.  Host returns as soon as the device queue and
+        transfers are primed."""
+        import time as _time
+
+        from sdn3d_tpu.pipelines.derender_infer import (
+            derender_encode_batch_begin)
+        from sdn3d_tpu.pipelines.semantic import multiscale_labels_device
+
+        t0 = _time.perf_counter()
+        labels = []                      # ("host", np) | ("dev", jnp)
+        for r in requests:
+            lab = r.get("label")
+            key = r.get("cache_key")
+            if lab is None and key is not None:
+                lab = self._label_cache.get(key)
+            if lab is not None:
+                labels.append(("host", lab))
+                continue
+            with phases.phase("sem.infer"):
+                dev = multiscale_labels_device(
+                    self.semantic_vars, self.semantic_model,
+                    r["image_rgb"], scales=tuple(self.cfg.scales))
+                try:
+                    dev.copy_to_host_async()
+                except AttributeError:
+                    pass
+                phases.add_bytes("sem.infer", dev)
+            labels.append(("dev", dev))
+        self.stage_s["semantic"] += _time.perf_counter() - t0
+
+        t0 = _time.perf_counter()
+        dets_list = []
+        for r in requests:
+            dets = r.get("dets")
+            if dets is None:
+                dets = self.detect(r["image_rgb"])
+            dets_list.append(dets)
+
+        enc_frames, enc_slots = [], []
+        encoded_list: List[object] = []
+        for i, (r, dets) in enumerate(zip(requests, dets_list)):
+            key = r.get("cache_key")
+            encoded = self._encode_cache.get(key) if key is not None \
+                else None
+            if encoded is None and self.infer_cfg.num_opts:
+                # silhouette refinement has no overlapped path; encode
+                # synchronously (identical programs either way)
+                from sdn3d_tpu.pipelines.derender_infer import \
+                    derender_encode
+                class_ids, masks, rois = dets
+                encoded = derender_encode(
+                    self.derender_vars, self.derender_model, self.bank,
+                    r["image_rgb"], class_ids, masks, rois,
+                    self.infer_cfg)
+                if key is not None:
+                    self._encode_cache.put(key, encoded)
+            encoded_list.append(encoded)
+            if encoded is None:
+                class_ids, masks, rois = dets
+                enc_frames.append({
+                    "image_rgb": r["image_rgb"], "class_ids": class_ids,
+                    "image_masks": masks, "rois": rois})
+                enc_slots.append(i)
+        enc_pending = (derender_encode_batch_begin(
+            self.derender_vars, self.derender_model, enc_frames,
+            self.infer_cfg) if enc_frames else [])
+        self.stage_s["geometric"] += _time.perf_counter() - t0
+        return {"requests": requests, "labels": labels,
+                "dets_list": dets_list, "encoded_list": encoded_list,
+                "enc_pending": enc_pending, "enc_slots": enc_slots}
+
+    def _stage_b(self, a):
+        """Pipeline stage B: materialize stage A's (already streaming)
+        fetches, apply the edit ops on host, dispatch the chunk's batched
+        render (packed fetch async), and prepare the textural source
+        inputs."""
+        import time as _time
+
+        from PIL import Image
+
+        from sdn3d_tpu.cli.edit_vkitti import prepare_source_inputs
+        from sdn3d_tpu.pipelines.derender_infer import (
+            derender_encode_batch_finish, derender_render_begin)
+
+        requests = a["requests"]
+        t0 = _time.perf_counter()
+        labels = []
+        for r, (kind, lab) in zip(requests, a["labels"]):
+            if kind == "dev":
+                lab = np.asarray(lab)
+                key = r.get("cache_key")
+                if key is not None:
+                    self._label_cache.put(key, lab)
+            labels.append(lab)
+        self.stage_s["semantic"] += _time.perf_counter() - t0
+
+        t0 = _time.perf_counter()
+        encoded_list = list(a["encoded_list"])
+        for slot, encoded in zip(a["enc_slots"],
+                                 derender_encode_batch_finish(
+                                     a["enc_pending"])):
+            encoded_list[slot] = encoded
+            key = requests[slot].get("cache_key")
+            if key is not None:
+                self._encode_cache.put(key, encoded)
+
+        frames = []
+        for r, dets, encoded in zip(requests, a["dets_list"],
+                                    encoded_list):
+            class_ids, masks, rois = dets
+            frames.append({
+                "image_rgb": r["image_rgb"], "class_ids": class_ids,
+                "image_masks": masks, "rois": rois,
+                "operations": r.get("operations"), "encoded": encoded,
+            })
+        pending_render = derender_render_begin(
+            self.derender_vars, self.derender_model, self.bank, frames,
+            self.infer_cfg,
+            small_plan=self._small_plan(frames[0]["image_rgb"].shape))
+        self.stage_s["geometric"] += _time.perf_counter() - t0
+
+        t0 = _time.perf_counter()
+        prepared = []
+        for r, label in zip(requests, labels):
+            key = r.get("cache_key")
+            cached = self._src_cache.get(key) if key is not None else None
+            if cached is None:
+                with phases.phase("tex.prepare"):
+                    cached = prepare_source_inputs(
+                        self.textural_trainer, self.textural_state,
+                        Image.fromarray(r["image_rgb"]),
+                        Image.fromarray(label.astype(np.uint8)),
+                        self._tex_args.load_size, self._wh)
+                if key is not None:
+                    self._src_cache.put(key, cached)
+            prepared.append(cached)
+        self.stage_s["textural"] += _time.perf_counter() - t0
+        return {"requests": requests, "labels": labels,
+                "pending_render": pending_render, "prepared": prepared}
+
+    def _stage_c(self, b) -> List[Dict[str, object]]:
+        """Pipeline stage C: materialize the packed render contract,
+        assemble the textural conditioning, and generate."""
+        import time as _time
+
+        from PIL import Image
+
+        from sdn3d_tpu.cli.edit_vkitti import generate_edit_batch
+        from sdn3d_tpu.pipelines.derender_infer import (
+            derender_render_finish)
+
+        t0 = _time.perf_counter()
+        geos = derender_render_finish(b["pending_render"])
+        self.stage_s["geometric"] += _time.perf_counter() - t0
+
+        t0 = _time.perf_counter()
+        items = []
+        for (base_img_t, base_label, feats), geo in zip(b["prepared"],
+                                                        geos):
+            with phases.phase("tex.quantize"):
+                item = {"base_img_t": base_img_t,
+                        "base_label": base_label,
+                        "json_obj": geo["json_obj"], "feats": feats}
+                if "instance_small" in geo:
+                    item["inst_small"] = geo["instance_small"]
+                    item["normal_small"] = geo["normal_small"]
+                else:
+                    item["inst_img"] = Image.fromarray(
+                        geo["instance_png"])
+                    item["normal_img"] = Image.fromarray(
+                        geo["normal_png"])
+                items.append(item)
+        fakes, maps_list = generate_edit_batch(
+            self.textural_trainer, self.textural_state, items, self._wh,
+            self._tex_args)
+        self.stage_s["textural"] += _time.perf_counter() - t0
+        return [{"label": label, "geo": geo, "fake": fake, "maps": maps}
+                for label, geo, fake, maps in
+                zip(b["labels"], geos, fakes, maps_list)]
+
+    def edit_frames_pipelined(self, chunks):
+        """Generator: run chunks of requests through a 3-deep software
+        pipeline and yield each chunk's outputs in order.
+
+        Stage A (semantic dispatch + detection + crop prep + encoder
+        dispatch, fetches streaming) runs two chunks ahead of the yield;
+        stage B (edit ops + batched render dispatch + textural source
+        prep) one chunk ahead; stage C (packed materialize + generate)
+        yields.  The device queue therefore always holds the next
+        chunks' work while the host packages/scores the current one, and
+        every d2h fetch streams during device compute instead of
+        serializing after it — the reference processes each image
+        strictly serially (geometric/scripts/main.py:690-844).
+
+        Outputs are byte-identical to edit_frames per chunk (every
+        device program is the same compiled program; pinned by
+        tests/test_chain.py::test_pipelined_chain_matches_batched).
+        Per-stage stage_s walls overlap under this scheduling and no
+        longer sum to wall-clock; they remain useful as relative
+        attribution only."""
+        a_prev = None
+        b_prev = None
+        for chunk in chunks:
+            a_new = self._stage_a(chunk)
+            if b_prev is not None:
+                yield self._stage_c(b_prev)
+                b_prev = None
+            if a_prev is not None:
+                b_prev = self._stage_b(a_prev)
+            a_prev = a_new
+        if a_prev is not None:
+            if b_prev is not None:
+                yield self._stage_c(b_prev)
+            yield self._stage_c(self._stage_b(a_prev))
 
     def dump(self, label: np.ndarray, geo: Dict[str, object],
              segm_dir: str, geo_dir: str, source_name: str,

@@ -53,7 +53,14 @@ def prepare_objects(image_rgb: np.ndarray, rois: np.ndarray,
     M = cfg.max_objects
     assert n <= M, (n, M)
 
-    rgbs = np.zeros((M, cfg.image_size, cfg.image_size, 3), np.float32)
+    # Crops are packed as uint8 (VK.transform_rgb_u8): the encoder jit
+    # dequantizes + normalizes on device, so the h2d upload is 1 byte per
+    # pixel instead of 4 (f32) / 2 (bf16).  This matches the reference's
+    # own quantization — its crops come out of a uint8 PIL resize
+    # (derender3d/datasets.py:157-173) — and the quantization step
+    # (<= 1/510 in [0, 1]) is no coarser than the bf16 cast the trunk
+    # applies anyway.
+    rgbs = np.zeros((M, cfg.image_size, cfg.image_size, 3), np.uint8)
     masks = np.zeros((M, cfg.render_size, cfg.render_size), np.float32)
     rois_pad = np.zeros((M, 4), np.float32)
     valid = np.zeros((M,), bool)
@@ -63,8 +70,8 @@ def prepare_objects(image_rgb: np.ndarray, rois: np.ndarray,
     image_masks_f = (np.asarray(image_masks, np.float32) if with_masks
                      else None)
     for i in range(n):
-        rgbs[i] = VK.transform_rgb(image_f, rois[i], cfg.image_size,
-                                   prescaled=True)
+        rgbs[i] = VK.transform_rgb_u8(image_f, rois[i], cfg.image_size,
+                                      prescaled=True)
         if with_masks:
             masks[i] = VK.transform_mask(image_masks_f[i, 0], rois[i],
                                          cfg.render_size)
@@ -89,10 +96,24 @@ def prepare_objects(image_rgb: np.ndarray, rois: np.ndarray,
     }
 
 
+# byte -> normalized-f32 lookup table ((x/255 - 0.5)/0.25 computed in
+# host f32): indexing it on device gives EXACTLY the host values on any
+# backend — inline arithmetic would let XLA turn /255 into a
+# reciprocal-multiply (measured 1-ulp diffs on CPU), silently forking
+# the crop contract between backends.
+_U8_NORM_TABLE = ((np.arange(256, dtype=np.float32) / np.float32(255.0)
+                   - np.float32(0.5)) / np.float32(0.25))
+
+
 @functools.lru_cache(maxsize=None)
 def _encode_jit(model: Derenderer):
     @jax.jit
     def fn(variables, rgbs, roi_norms, focals):
+        if rgbs.dtype == jnp.uint8:
+            # dequantize + normalize on device with transform_rgb's exact
+            # f32 values (256-entry LUT); the bf16 trunk then applies its
+            # own RNE input cast as before
+            rgbs = jnp.asarray(_U8_NORM_TABLE)[rgbs.astype(jnp.int32)]
         mroi = jnp.stack([roi_norms[:, 2] + roi_norms[:, 0],
                           roi_norms[:, 3] + roi_norms[:, 1]], axis=1) / 2.0
         droi = jnp.stack([roi_norms[:, 2] - roi_norms[:, 0],
@@ -259,14 +280,16 @@ def encode_objects(variables, model: Derenderer, objs: Dict[str, np.ndarray],
     jit-cached per model: repeated frames (the 92-pair benchmark loop)
     re-use the compiled program.  Returns (device blob, packed bytes).
 
-    When the encoder trunk computes in bfloat16, the object crops are
-    pre-cast on host before upload: the trunk's first conv would cast
-    them on device anyway (same round-to-nearest-even), so shipping
-    bf16 is value-identical and halves the largest h2d transfer of the
-    serving chain (16x256x256x3 f32 = 12.6 MB -> 6.3 MB); pinned by
-    tests/test_derender_infer.py::test_encode_bf16_upload_is_exact."""
+    Crops arrive as uint8 (prepare_objects) and are dequantized +
+    normalized inside the jit — 1 byte/pixel over the host link instead
+    of 4 (16x256x256x3 f32 = 12.6 MB -> 3.1 MB), device math identical
+    to the host normalization; pinned by tests/test_derender_infer.py::
+    test_encode_uint8_upload_matches_host_normalization.  Float crops
+    from legacy callers still work: when the trunk computes in bfloat16
+    they are pre-cast on host (the trunk's first conv would apply the
+    same RNE cast on device)."""
     rgbs = objs["rgbs"]
-    if model.dtype == jnp.bfloat16:
+    if rgbs.dtype != np.uint8 and model.dtype == jnp.bfloat16:
         rgbs = rgbs.astype(jnp.bfloat16)           # ml_dtypes RNE cast
     return _encode_jit(model)(variables, jnp.asarray(rgbs),
                               jnp.asarray(objs["roi_norms"]),
@@ -428,6 +451,71 @@ def derender_encode(
     return objs, blob
 
 
+def derender_encode_batch_begin(
+    variables,
+    model: Derenderer,
+    frames: List[Dict[str, object]],
+    cfg: DerenderInferConfig,
+):
+    """Dispatch the encoder for N frames back-to-back and start every
+    packed-blob d2h fetch asynchronously.
+
+    Each frame runs the SAME per-frame `_encode_jit` program the
+    file-contract CLIs use — a fused [N*M]-slot program would be faster
+    to dispatch but its convs tile differently per batch size (measured
+    1-ulp output drift on CPU), forking the byte contract.  The relay
+    cost the serial path pays per pair — a synchronous upload, dispatch,
+    and ~50 ms fetch round-trip — is amortized instead by OVERLAP: all N
+    uploads/dispatches enqueue before the first fetch is awaited, so the
+    fetches stream while later frames upload and execute.
+    num_opts==0 only (silhouette refinement keeps the per-frame path).
+    Returns an opaque pending handle for derender_encode_batch_finish."""
+    assert cfg.num_opts == 0, \
+        "batched encode has no refinement path; use derender_encode"
+    pendings = []
+    for fr in frames:
+        with phases.phase("geo.prep"):
+            objs = prepare_objects(
+                fr["image_rgb"], fr["rois"], fr["image_masks"],
+                fr["class_ids"], cfg, fr.get("all_interested", False),
+                with_masks=False)
+            phases.add_bytes("geo.prep", objs["rgbs"])
+        with phases.phase("geo.encode"):
+            blob, packed = phases.block(
+                encode_objects(variables, model, objs, cfg))
+            try:
+                packed.copy_to_host_async()
+            except AttributeError:
+                pass
+        pendings.append((objs, blob, packed))
+    return pendings
+
+
+def derender_encode_batch_finish(pendings) -> List[
+        Tuple[Dict[str, np.ndarray], Dict[str, object]]]:
+    """Materialize a derender_encode_batch_begin handle.  Returns
+    [(objs, host blob)] in frame order — each entry interchangeable with
+    a derender_encode result (byte-identical: same compiled program)."""
+    out = []
+    for objs, blob, packed in pendings:
+        with phases.phase("geo.encode_fetch"):
+            packed_np = np.asarray(packed)
+            phases.add_bytes("geo.encode_fetch", packed_np)
+            out.append((objs, _unpack_blob(packed_np, blob)))
+    return out
+
+
+def derender_encode_batch(
+    variables,
+    model: Derenderer,
+    frames: List[Dict[str, object]],
+    cfg: DerenderInferConfig,
+) -> List[Tuple[Dict[str, np.ndarray], Dict[str, object]]]:
+    """Multi-frame encode with overlapped fetches (begin + finish)."""
+    return derender_encode_batch_finish(
+        derender_encode_batch_begin(variables, model, frames, cfg))
+
+
 def derender_image(
     variables,
     model: Derenderer,
@@ -475,6 +563,10 @@ def derender_image(
             small=small_plan)(
             blob_t, bank, jnp.asarray(interests),
             jnp.asarray(objs["valid"])))
+        try:
+            packed.copy_to_host_async()    # stream the fetch early
+        except AttributeError:
+            pass
 
     with phases.phase("geo.package"):
         packed_np = np.asarray(packed)      # the ONE d2h fetch per frame
@@ -635,6 +727,26 @@ def derender_images_batch(
     must divide the mesh; parity pinned by
     tests/test_derender_infer.py::test_derender_images_batch_sharded).
     """
+    return derender_render_finish(derender_render_begin(
+        variables, model, bank, frames, cfg, sharding=sharding,
+        small_plan=small_plan))
+
+
+def derender_render_begin(
+    variables,
+    model: Derenderer,
+    bank: DeviceMeshBank,
+    frames: List[Dict[str, object]],
+    cfg: Optional[DerenderInferConfig] = None,
+    sharding=None,
+    small_plan=None,
+):
+    """First half of derender_images_batch: host edit + upload + ONE
+    batched render dispatch, with the packed-contract d2h fetch started
+    asynchronously.  Returns an opaque pending handle for
+    derender_render_finish — the pipelined chain runs the next chunk's
+    host work while this chunk's render executes and its packed buffer
+    streams back."""
     cfg = cfg or DerenderInferConfig()
     H, W = frames[0]["image_rgb"].shape[:2]
 
@@ -673,7 +785,17 @@ def derender_images_batch(
                 cfg.mode, cfg.image_size, cfg.render_size, H, W,
                 len(frames), small=small_plan)(
                 stacked, bank, interests_b, valid_b))
+        try:
+            packedN.copy_to_host_async()
+        except AttributeError:
+            pass
+    return per, frames, outN, instN, nrmN, depN, packedN, small_plan
 
+
+def derender_render_finish(pending) -> List[Dict[str, object]]:
+    """Second half of derender_images_batch: materialize the (already
+    streaming) packed fetch and build each frame's host contract."""
+    per, frames, outN, instN, nrmN, depN, packedN, small_plan = pending
     with phases.phase("geo.package"):
         packed_np = np.asarray(packedN)     # ONE d2h fetch for the chunk
         phases.add_bytes("geo.package", packed_np)

@@ -171,13 +171,15 @@ def _jitted_multiscale_label(model: SemanticModel, sizes: tuple,
     return jax.jit(fn)
 
 
-def multiscale_labels_fused(variables, model: SemanticModel,
-                            image_rgb_u8: np.ndarray,
-                            scales: Sequence[int] = EVAL_SCALES
-                            ) -> np.ndarray:
-    """Argmax labels [H, W] uint8 from the RAW uint8 RGB frame in one
-    dispatch + one 1-byte/pixel fetch (see _jitted_multiscale_label).
-    Scale sizing matches multiscale_probs_device exactly."""
+def multiscale_labels_device(variables, model: SemanticModel,
+                             image_rgb_u8: np.ndarray,
+                             scales: Sequence[int] = EVAL_SCALES
+                             ) -> jnp.ndarray:
+    """Argmax labels [H, W] uint8 as a DEVICE array, one dispatch (see
+    _jitted_multiscale_label).  Scale sizing matches
+    multiscale_probs_device exactly.  The pipelined chain dispatches
+    this, starts the 1-byte/pixel fetch asynchronously, and materializes
+    a stage later — byte-identical to multiscale_labels_fused."""
     from sdn3d_tpu.data.semantic_data import (IMG_MAX_SIZE_EVAL,
                                               round2nearest_multiple)
     H, W = image_rgb_u8.shape[:2]
@@ -187,7 +189,17 @@ def multiscale_labels_fused(variables, model: SemanticModel,
         sizes.append((round2nearest_multiple(int(H * scale), 8),
                       round2nearest_multiple(int(W * scale), 8)))
     fn = _jitted_multiscale_label(model, tuple(sizes), H, W)
-    return np.asarray(fn(variables, jnp.asarray(image_rgb_u8)))
+    return fn(variables, jnp.asarray(image_rgb_u8))
+
+
+def multiscale_labels_fused(variables, model: SemanticModel,
+                            image_rgb_u8: np.ndarray,
+                            scales: Sequence[int] = EVAL_SCALES
+                            ) -> np.ndarray:
+    """Argmax labels [H, W] uint8 from the RAW uint8 RGB frame in one
+    dispatch + one 1-byte/pixel fetch."""
+    return np.asarray(multiscale_labels_device(variables, model,
+                                               image_rgb_u8, scales))
 
 
 def multiscale_probs_device(variables, model: SemanticModel,

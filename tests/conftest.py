@@ -18,3 +18,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+
+# forced-CPU processes use their own compilation-cache partition (see
+# sdn3d_tpu/core/cache.py) — cross-loading TPU-relay-written host
+# executables triggers XLA machine-feature warnings
+from sdn3d_tpu.core.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(subdir="cpu")

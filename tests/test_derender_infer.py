@@ -152,15 +152,16 @@ def test_derender_images_batch_sharded(setup):
 def test_prepare_objects_hoisted_conversion_is_byte_exact(setup):
     """prepare_objects hoists the full-frame uint8->[0,1] conversion out
     of its per-object loop; the slots must stay byte-identical to
-    per-object transform_rgb/transform_mask on the raw inputs."""
+    per-object transform_rgb_u8/transform_mask on the raw inputs."""
     from sdn3d_tpu.data import vkitti as VK
     from sdn3d_tpu.pipelines.derender_infer import prepare_objects
 
     _model, _variables, _bank, cfg = setup
     image, rois, masks, class_ids = fake_scene()
     objs = prepare_objects(image, rois, masks, class_ids, cfg)
+    assert objs["rgbs"].dtype == np.uint8
     for i in range(len(rois)):
-        ref_rgb = VK.transform_rgb(image, rois[i], cfg.image_size)
+        ref_rgb = VK.transform_rgb_u8(image, rois[i], cfg.image_size)
         ref_mask = VK.transform_mask(masks[i, 0], rois[i], cfg.render_size)
         assert np.array_equal(objs["rgbs"][i], ref_rgb)
         assert np.array_equal(objs["masks"][i, 0], ref_mask)
@@ -170,31 +171,71 @@ def test_prepare_objects_hoisted_conversion_is_byte_exact(setup):
     assert np.array_equal(objs_u8["masks"], objs["masks"])
 
 
-def test_encode_bf16_upload_is_exact(setup):
-    """encode_objects pre-casts the crop upload to bf16 when the trunk
-    computes in bf16.  The trunk's first conv applies the same
-    round-to-nearest-even cast on device, so the pre-cast upload (half
-    the bytes over the host link) must leave every encoder output
-    bit-identical to uploading float32."""
+def test_encode_uint8_upload_matches_host_normalization(setup):
+    """encode_objects ships uint8 crops and dequantizes + normalizes on
+    device.  The device math ((x/255 - 0.5)/0.25 in f32) must equal the
+    host normalization of the same quantized crop bit-for-bit — the
+    uint8 upload changes WHERE the normalization runs, never its value
+    (quantization itself is the reference's own: its crops come out of a
+    uint8 PIL resize, derender3d/datasets.py:157-173)."""
     from sdn3d_tpu.pipelines.derender_infer import (_encode_jit,
                                                     encode_objects,
                                                     prepare_objects)
 
     _m, _v, _bank, cfg = setup
-    model16 = Derenderer(num_classes=2, dtype=jnp.bfloat16)
-    variables = model16.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 2)),
-        jnp.zeros((1, 2)), train=False)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        model = Derenderer(num_classes=2, dtype=dtype)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+            jnp.zeros((1, 2)), jnp.zeros((1, 2)), train=False)
+        image, rois, masks, class_ids = fake_scene()
+        objs = prepare_objects(image, rois, masks, class_ids, cfg)
+        assert objs["rgbs"].dtype == np.uint8
+
+        blob_u8, packed_u8 = encode_objects(variables, model, objs, cfg)
+        # host-side normalization of the SAME quantized crop (f32 ops in
+        # the device order), shipped the legacy way
+        host = ((objs["rgbs"].astype(np.float32) / np.float32(255.0)
+                 - np.float32(0.5)) / np.float32(0.25))
+        host_objs = dict(objs, rgbs=host)
+        blob_f32, packed_f32 = encode_objects(variables, model, host_objs,
+                                              cfg)
+        np.testing.assert_array_equal(np.asarray(packed_u8),
+                                      np.asarray(packed_f32))
+        for k in blob_f32:
+            np.testing.assert_array_equal(np.asarray(blob_u8[k]),
+                                          np.asarray(blob_f32[k]),
+                                          err_msg=f"{dtype} {k}")
+
+
+def test_encode_batch_matches_per_frame(setup):
+    """derender_encode_batch (one [N*M]-slot encoder dispatch + one
+    packed fetch for the whole chunk) must return exactly what
+    derender_encode returns per frame — the chunk batching only
+    concatenates independent object slots."""
+    from sdn3d_tpu.pipelines.derender_infer import (derender_encode,
+                                                    derender_encode_batch)
+
+    model, variables, bank, cfg = setup
     image, rois, masks, class_ids = fake_scene()
-    objs = prepare_objects(image, rois, masks, class_ids, cfg)
-
-    blob_pre, packed_pre = encode_objects(variables, model16, objs, cfg)
-    blob_f32, packed_f32 = _encode_jit(model16)(
-        variables, jnp.asarray(objs["rgbs"]),
-        jnp.asarray(objs["roi_norms"]), jnp.asarray(objs["focals"]))
-
-    np.testing.assert_array_equal(np.asarray(packed_pre),
-                                  np.asarray(packed_f32))
-    for k in blob_f32:
-        np.testing.assert_array_equal(np.asarray(blob_pre[k]),
-                                      np.asarray(blob_f32[k]), err_msg=k)
+    frames = [
+        {"image_rgb": image, "class_ids": class_ids, "image_masks": masks,
+         "rois": rois},
+        {"image_rgb": image[::-1].copy(), "class_ids": class_ids[:1],
+         "image_masks": masks[:1], "rois": rois[:1]},
+    ]
+    batched = derender_encode_batch(variables, model, frames, cfg)
+    assert len(batched) == 2
+    for fr, (objs_b, blob_b) in zip(frames, batched):
+        objs_s, blob_s = derender_encode(
+            variables, model, bank, fr["image_rgb"], fr["class_ids"],
+            fr["image_masks"], fr["rois"], cfg)
+        for k in objs_s:
+            np.testing.assert_array_equal(np.asarray(objs_b[k]),
+                                          np.asarray(objs_s[k]),
+                                          err_msg=k)
+        assert blob_b.keys() == blob_s.keys()
+        for k in blob_s:
+            np.testing.assert_array_equal(np.asarray(blob_b[k]),
+                                          np.asarray(blob_s[k]),
+                                          err_msg=k)
