@@ -75,12 +75,18 @@ PER_FACE_CULL_V3 = _os.getenv("SDN3D_RASTER_FACE_CULL_V3", "0") == "1"
 # are not bit-identical to v1/XLA on large meshes, only near-identical.
 KERNEL_VERSION = int(_os.getenv("SDN3D_RASTER_KERNEL", "3"))
 VGROUP = 8                # faces per sublane-vectorized group (v2)
-# v3 loop unrolling (the kernel is scalar-SEQUENCING bound at ~90
-# cycles/face): unrolling the face loop issues several faces' scalar
-# reads back-to-back so the scalar unit pipelines across faces instead
-# of serializing on each loop's bound check/branch.
-UNROLL_FACE_V3 = int(_os.getenv("SDN3D_RASTER_UNROLL_FACE", "1"))
-UNROLL_SLAB_V3 = int(_os.getenv("SDN3D_RASTER_UNROLL_SLAB", "1"))
+# v3 face-loop unrolling (the kernel is scalar-SEQUENCING bound at ~90
+# cycles/face): fully unrolling the per-group face loop issues the 32
+# faces' scalar reads back-to-back so the scalar unit pipelines across
+# faces instead of serializing on each trip's bound check/branch.
+# Pallas lowers fori_loop unroll only as FULL unroll (unroll ==
+# num_steps), so the effective value is GROUP or 1.  v5e, 16 cars 768²:
+# 631 -> 410 ms (1.54x), hit maps bit-identical
+# (scripts/prof_unroll_sweep.py).  The slab loop stays rolled — its
+# bounds are data-dependent (row span).
+UNROLL_FACE_V3 = int(_os.getenv("SDN3D_RASTER_UNROLL_FACE", str(GROUP)))
+if UNROLL_FACE_V3 != GROUP:
+    UNROLL_FACE_V3 = 1
 # v3 tile height cap: the best measured tile is the WHOLE image column
 # (one tile row) — slab bounding makes tall tiles free and culling
 # overhead scales with tile count.
@@ -536,7 +542,7 @@ def _raster_kernel_v2(bbox_ref, aux_ref, facevm_ref, fi_ref, depth_ref, *,
 
 def _raster_kernel_v3(bbox_ref, aux_ref, face_ref, fi_ref, depth_ref,
                       *maybe_rgb, image_size, near, far, tile_h,
-                      with_color=False):
+                      with_color=False, unroll=None):
     """Scalar face loop, slab-bounded vector pass.
 
     Per face: ~14 SMEM scalar reads (bbox, row span, 12 edge/depth
@@ -577,7 +583,10 @@ def _raster_kernel_v3(bbox_ref, aux_ref, face_ref, fi_ref, depth_ref,
         rfar = jnp.float32(1.0 / far)
         rnear = jnp.float32(1.0 / near)
 
-        def face_body(j, carry):
+        def face_body(i, carry):
+            j0_, carry_in = carry
+            j = j0_ + i
+
             @pl.when(bbox_hit(aux_ref[0, 0, j]) if PER_FACE_CULL_V3
                      else (j >= 0))
             def _face():
@@ -627,8 +636,7 @@ def _raster_kernel_v3(bbox_ref, aux_ref, face_ref, fi_ref, depth_ref,
                                                                ccur)
                     return c2
 
-                jax.lax.fori_loop(r0 // 8, (r1 + 7) // 8, slab_body, 0,
-                                  unroll=UNROLL_SLAB_V3)
+                jax.lax.fori_loop(r0 // 8, (r1 + 7) // 8, slab_body, 0)
 
             return carry
 
@@ -636,8 +644,11 @@ def _raster_kernel_v3(bbox_ref, aux_ref, face_ref, fi_ref, depth_ref,
             j0 = g * GROUP
 
             def scan_group():
-                return jax.lax.fori_loop(j0, j0 + GROUP, face_body, carry,
-                                         unroll=UNROLL_FACE_V3)
+                # static 0..GROUP bounds so the face loop can unroll
+                u = UNROLL_FACE_V3 if unroll is None else unroll
+                _, c = jax.lax.fori_loop(0, GROUP, face_body, (j0, carry),
+                                         unroll=u)
+                return c
 
             return jax.lax.cond(bbox_hit(aux_ref[0, 1, j0]),
                                 scan_group, lambda: carry)
@@ -647,7 +658,7 @@ def _raster_kernel_v3(bbox_ref, aux_ref, face_ref, fi_ref, depth_ref,
 
 @functools.partial(jax.jit, static_argnames=("image_size", "near", "far",
                                              "interpret", "version",
-                                             "with_color"))
+                                             "with_color", "unroll"))
 def rasterize_face_index_pallas(
     packed: jnp.ndarray,
     aux: jnp.ndarray,
@@ -658,6 +669,7 @@ def rasterize_face_index_pallas(
     interpret: bool = False,
     version: Optional[int] = None,
     with_color: bool = False,
+    unroll: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, ...]:
     """(packed (see pack_faces), aux [B,AUX_ROWS,F_pad] int32,
     chunk_bbox [B,4,n_chunks] int32) ->
@@ -693,7 +705,7 @@ def rasterize_face_index_pallas(
     elif version == 3:
         kernel = functools.partial(_raster_kernel_v3, image_size=image_size,
                                    near=near, far=far, tile_h=tile_h,
-                                   with_color=with_color)
+                                   with_color=with_color, unroll=unroll)
         packed_spec = pl.BlockSpec((1, N_ROWS, FACE_CHUNK),
                                    lambda b, ty, tx, fc: (b, 0, fc),
                                    memory_space=pltpu.SMEM)
