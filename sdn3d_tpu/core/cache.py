@@ -21,6 +21,30 @@ import os
 DEFAULT_CACHE_DIR = "/tmp/sdn3d_jax_cache"
 
 
+def _host_fingerprint() -> str:
+    """Stable fingerprint of this host's CPU feature set.
+
+    XLA:CPU AOT executables record the compile machine's features and
+    warn 'could lead to execution errors such as SIGILL' when a host
+    with a different feature set loads them (observed when /tmp cache
+    dirs outlive a session and the next run lands on different
+    hardware).  Partitioning by feature-set hash makes cross-host
+    loads structurally impossible."""
+    import hashlib
+    import platform
+
+    feats = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats += " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1(feats.encode()).hexdigest()[:12]
+
+
 def enable_compilation_cache(subdir: str | None = None) -> str | None:
     """Point JAX's persistent compilation cache at a shared directory.
 
@@ -40,6 +64,10 @@ def enable_compilation_cache(subdir: str | None = None) -> str | None:
                  or os.environ.get("SDN3D_CACHE_DIR")
                  or DEFAULT_CACHE_DIR)
     if subdir:
+        if subdir == "cpu":
+            # forced-CPU executables are host-feature-specific (AOT);
+            # see _host_fingerprint
+            subdir = "cpu-" + _host_fingerprint()
         cache_dir = os.path.join(cache_dir, subdir)
         os.environ["JAX_COMPILATION_CACHE_DIR"] = cache_dir
     # keep subprocesses (CLI stages spawned by scripts, PrefetchLoader
