@@ -27,6 +27,20 @@ def test_compilation_cache_wired_into_package():
     assert jax.config.jax_compilation_cache_dir == d
 
 
+def test_cpu_cache_partition_is_host_fingerprinted():
+    """The forced-CPU partition must embed a host CPU-feature fingerprint:
+    XLA:CPU AOT executables record compile-machine features and can
+    SIGILL when loaded on a host with a different feature set (core/
+    cache.py::_host_fingerprint; /tmp cache dirs outlive sessions)."""
+    from sdn3d_tpu.core.cache import (_host_fingerprint,
+                                      enable_compilation_cache)
+
+    fp = _host_fingerprint()
+    assert len(fp) == 12 and fp == _host_fingerprint()  # stable
+    d = enable_compilation_cache(subdir="cpu")
+    assert os.path.basename(d) == "cpu-" + fp
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from sdn3d_tpu.core.checkpoint import (
         save_checkpoint, restore_checkpoint, latest_step, load_meta)
