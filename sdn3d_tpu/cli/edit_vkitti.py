@@ -172,7 +172,11 @@ def assemble_edit_conditioning(trainer, state, base_img_t, base_label,
         src_slot = src_mapping.get(inst_id)
         if src_slot is not None:
             feat_table[slot] = means_np[src_slot]
-    return maps, slots, feat_table, normal_u8
+    # raw instance plane for the serving upload (values <= 255: it comes
+    # from a uint8 PNG/small plane); fake_inference reconstructs the
+    # int32 k*1000 map from it with assemble_condition_maps' exact math
+    inst_raw = inst_png.astype(np.uint8)
+    return maps, slots, feat_table, normal_u8, inst_raw
 
 
 def generate_edit_from_images(trainer, state, base_img_t, base_label,
@@ -228,36 +232,40 @@ def generate_edit_batch(trainer, state, items, wh, args):
         # f32 upload per chunk.
         batch = {
             "label": jnp.asarray(np.stack(
-                [m["label"] for m, _, _, _ in assembled]
+                [m["label"] for m, _, _, _, _ in assembled]
                 ).astype(np.uint8)),
+            # raw uint8 instance plane (1 byte/pixel); fake_inference
+            # reconstructs the int32 k*1000 map on device exactly
             "inst": jnp.asarray(np.stack(
-                [m["inst"] for m, _, _, _ in assembled])),
+                [ir for _, _, _, _, ir in assembled])),
             "inst_slots": jnp.asarray(np.stack(
-                [s for _, s, _, _ in assembled]).astype(np.uint8)),
+                [s for _, s, _, _, _ in assembled]).astype(np.uint8)),
             "pose": jnp.asarray(np.stack(
-                [m["pose"] for m, _, _, _ in assembled]).astype(np.uint8)),
+                [m["pose"] for m, _, _, _, _ in assembled]
+                ).astype(np.uint8)),
             "normal": jnp.asarray(np.stack(
                 [n if n is not None
                  else np.zeros(items[i]["base_img_t"].shape, np.uint8)
-                 for i, (_, _, _, n) in enumerate(assembled)])),
+                 for i, (_, _, _, n, _) in enumerate(assembled)])),
             # 1 where the frame HAS a normal map; frames without one
             # (normal_u8 is None) must condition on exact f32 zeros, so
             # fake_inference zeroes them after the uint8 normalization
             "normal_valid": jnp.asarray(np.asarray(
-                [n is not None for _, _, _, n in assembled], np.float32)),
+                [n is not None for _, _, _, n, _ in assembled],
+                np.float32)),
         }
         if trainer.cfg.use_global_encoder:
             batch["image"] = jnp.asarray(np.stack(
                 [it["base_img_t"] for it in items]))
         feat_tables = jnp.asarray(np.stack(
-            [f for _, _, f, _ in assembled]))
+            [f for _, _, f, _, _ in assembled]))
         phases.block((batch, feat_tables))
         phases.add_bytes("tex.upload", feat_tables, *batch.values())
     with phases.phase("tex.generate"):
         fakes = np.asarray(
             trainer.fake_inference_jit(state, batch, feat_tables))
         phases.add_bytes("tex.generate", fakes)
-    return list(fakes), [m for m, _, _, _ in assembled]
+    return list(fakes), [m for m, _, _, _, _ in assembled]
 
 
 def generate_edit_frame(trainer, state, base_img_t, base_label,

@@ -105,6 +105,19 @@ _U8_NORM_TABLE = ((np.arange(256, dtype=np.float32) / np.float32(255.0)
                    - np.float32(0.5)) / np.float32(0.25))
 
 
+@functools.partial(jax.jit, static_argnames=("m",))
+def _pad_slots_u8(rgbs: jnp.ndarray, m: int) -> jnp.ndarray:
+    """Zero-pad uint8 crops [n, ...] to the padded slot count [m, ...]
+    ON DEVICE.  The h2d upload then moves only the n real crops (the
+    padded tail of a 16-slot frame with ~5 cars is pure zeros — ~2 MB of
+    the 3.15 MB upload at serving shapes), while the encoder still sees
+    the exact [m]-slot tensor it always did: same program, same bytes
+    (zero uint8 rows == today's zero padding rows).  The pad program
+    itself re-traces per n, but it is a trivial memcpy-shaped program."""
+    return jnp.pad(rgbs, ((0, m - rgbs.shape[0]),)
+                   + ((0, 0),) * (rgbs.ndim - 1))
+
+
 @functools.lru_cache(maxsize=None)
 def _encode_jit(model: Derenderer):
     @jax.jit
@@ -291,7 +304,17 @@ def encode_objects(variables, model: Derenderer, objs: Dict[str, np.ndarray],
     rgbs = objs["rgbs"]
     if rgbs.dtype != np.uint8 and model.dtype == jnp.bfloat16:
         rgbs = rgbs.astype(jnp.bfloat16)           # ml_dtypes RNE cast
-    return _encode_jit(model)(variables, jnp.asarray(rgbs),
+    n = int(objs.get("num_objs", rgbs.shape[0]))
+    M = rgbs.shape[0]
+    if isinstance(rgbs, np.ndarray) and rgbs.dtype == np.uint8 and n < M:
+        # upload only the real crops; zero-pad to the slot count on
+        # device (identical [M]-slot tensor -> identical encoder program
+        # and bytes; pinned by test_encode_sliced_upload_matches_full)
+        rgbs_dev = (_pad_slots_u8(jnp.asarray(rgbs[:n]), M) if n
+                    else jnp.zeros(rgbs.shape, jnp.uint8))
+    else:
+        rgbs_dev = jnp.asarray(rgbs)
+    return _encode_jit(model)(variables, rgbs_dev,
                               jnp.asarray(objs["roi_norms"]),
                               jnp.asarray(objs["focals"]))
 
@@ -414,7 +437,8 @@ def derender_encode(
         if cfg.num_opts:
             phases.add_bytes("geo.prep", objs["rgbs"], objs["masks"])
         else:
-            phases.add_bytes("geo.prep", objs["rgbs"])
+            # only the real crops travel (encode_objects pads on device)
+            phases.add_bytes("geo.prep", objs["rgbs"][:objs["num_objs"]])
     with phases.phase("geo.encode"):
         blob, packed = phases.block(
             encode_objects(variables, model, objs, cfg))
@@ -479,7 +503,7 @@ def derender_encode_batch_begin(
                 fr["image_rgb"], fr["rois"], fr["image_masks"],
                 fr["class_ids"], cfg, fr.get("all_interested", False),
                 with_masks=False)
-            phases.add_bytes("geo.prep", objs["rgbs"])
+            phases.add_bytes("geo.prep", objs["rgbs"][:objs["num_objs"]])
         with phases.phase("geo.encode"):
             blob, packed = phases.block(
                 encode_objects(variables, model, objs, cfg))

@@ -404,7 +404,18 @@ class TexturalTrainer:
         raw uint8 PNG bytes, normalized here with assemble_condition_maps'
         exact math."""
         c = self.cfg
-        input_label = encode_input(c, batch["label"], batch["inst"])
+        inst = batch["inst"]
+        if inst.dtype == jnp.uint8:
+            # serving contract: the RAW instance plane (uint8, <= 255)
+            # travels instead of the int32 k*1000 map; the reconstruction
+            # below is assemble_condition_maps' exact integer math
+            # (textural_data.py:86-97: background pixels carry the
+            # relabeled segm, instance pixels k*1000), so get_edges sees
+            # identical ids — 1 byte/pixel instead of 4 over the relay.
+            inst = jnp.where(inst == 0,
+                             batch["label"].astype(jnp.int32),
+                             inst.astype(jnp.int32) * 1000)
+        input_label = encode_input(c, batch["label"], inst)
         if feat_map is None:
             feats = self.netE.apply({"params": state.params_e},
                                     batch["image"])

@@ -208,6 +208,35 @@ def test_encode_uint8_upload_matches_host_normalization(setup):
                                           err_msg=f"{dtype} {k}")
 
 
+def test_encode_sliced_upload_matches_full(setup):
+    """encode_objects uploads only the n real crops and zero-pads to the
+    slot count on device; the encoder must receive the exact [M]-slot
+    tensor the full upload produced (same program -> same packed bytes).
+    n == 0 (no detections) routes through device zeros."""
+    from sdn3d_tpu.pipelines.derender_infer import (_encode_jit,
+                                                    encode_objects,
+                                                    prepare_objects)
+
+    model, variables, bank, cfg = setup
+    image, rois, masks, class_ids = fake_scene()
+    objs = prepare_objects(image, rois, masks, class_ids, cfg)
+    assert objs["num_objs"] < cfg.max_objects       # slicing engages
+    blob_sliced, packed_sliced = encode_objects(variables, model, objs,
+                                                cfg)
+    # legacy full-[M] upload (bypass the slice by lying about num_objs)
+    full = dict(objs, num_objs=cfg.max_objects)
+    blob_full, packed_full = encode_objects(variables, model, full, cfg)
+    np.testing.assert_array_equal(np.asarray(packed_sliced),
+                                  np.asarray(packed_full))
+
+    empty = prepare_objects(image, np.zeros((0, 4), np.float32),
+                            np.zeros((0, 1) + image.shape[:2], np.float32),
+                            np.zeros((0,), np.int32), cfg)
+    blob0, packed0 = encode_objects(variables, model, empty, cfg)
+    for k, v in blob0.items():
+        assert np.isfinite(np.asarray(v, np.float32)).all(), k
+
+
 def test_encode_batch_matches_per_frame(setup):
     """derender_encode_batch (one [N*M]-slot encoder dispatch + one
     packed fetch for the whole chunk) must return exactly what

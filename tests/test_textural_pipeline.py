@@ -102,6 +102,32 @@ def test_fake_inference_absent_normal_is_exact_zero(setup):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
+def test_fake_inference_uint8_inst_plane_matches_int32_map(setup):
+    """The serving path ships the RAW uint8 instance plane (1 B/pixel)
+    instead of the int32 k*1000 map (4 B/pixel); fake_inference
+    reconstructs the map on device with assemble_condition_maps' exact
+    integer math (textural_data.py:86-97: background pixels carry the
+    relabeled segm, instance pixels k*1000).  Both encodings must
+    produce byte-identical generator output."""
+    trainer, state, batch = setup
+    H, W = batch["normal"].shape[1:3]
+    rng = np.random.RandomState(3)
+    label = rng.randint(0, 14, (1, H, W)).astype(np.uint8)
+    inst_raw = np.zeros((1, H, W), np.uint8)
+    inst_raw[:, :, W // 2:] = 1
+    inst_raw[:, :H // 3, :W // 4] = 7
+    # host/file path: the int32 k*1000 map assemble_condition_maps builds
+    inst_map = np.where(inst_raw == 0, label.astype(np.int32),
+                        inst_raw.astype(np.int32) * 1000)
+    ref_batch = dict(batch, label=jnp.asarray(label),
+                     inst=jnp.asarray(inst_map))
+    ref = np.asarray(trainer.fake_inference(state, ref_batch))
+    srv_batch = dict(ref_batch, inst=jnp.asarray(inst_raw))
+    srv = np.asarray(trainer.fake_inference(state, srv_batch))
+    np.testing.assert_array_equal(ref, srv)
+
+
 def test_netG_input_channels():
     cfg = TexturalConfig()
     # label 14 + edge 1 + feat 5 + pose 25 + normal 3 (base_options defaults)
