@@ -64,16 +64,15 @@ def load_trainer(args):
     return trainer, state
 
 
-def prepare_source_inputs(trainer, state, src_img, label_img, load_size,
-                          wh):
-    """Source-side textural inputs from PIL images: the transformed RGB
-    in [-1, 1], the int32 label map at target resolution, and the
-    per-slot source feature-code table [max_instances, feat] (netE +
-    instance means in one device program; its slot order is
-    dense_instance_slots(base_label)).  The ONE implementation shared by
-    this CLI, cli/edit_benchmark's per-source cache and
-    EditChain.generate — the math must stay identical across all callers
-    for the fused == file chain parity guarantee (tests/test_chain.py)."""
+def prepare_source_begin(trainer, state, src_img, label_img, load_size,
+                         wh):
+    """Host transforms + netE feature-means dispatch for one source
+    frame, with the (tiny) d2h fetch started asynchronously.  Returns a
+    pending handle for prepare_source_finish.  The split exists so a
+    chunked caller (pipelines/chain.py stage B) can dispatch every
+    source's program before materializing any fetch — the ~50 ms relay
+    round trip per source then overlaps the next sources' dispatch/PIL
+    work instead of serializing after each one."""
     import jax.numpy as jnp
 
     from sdn3d_tpu.data.textural_data import (dense_instance_slots,
@@ -85,10 +84,34 @@ def prepare_source_inputs(trainer, state, src_img, label_img, load_size,
         normalize=False)) * 255.0).astype(np.int32)[..., 0]
     src_slots, _ = dense_instance_slots(base_label,
                                         trainer.cfg.max_instances)
-    feat_means = np.asarray(trainer.encode_feat_means_jit(
+    feat_means_dev = trainer.encode_feat_means_jit(
         state.params_e, jnp.asarray(base_img_t[None]),
-        jnp.asarray(src_slots[None])))[0]        # [max_instances, feat]
-    return base_img_t, base_label, feat_means
+        jnp.asarray(src_slots[None]))            # [1, max_instances, feat]
+    try:
+        feat_means_dev.copy_to_host_async()
+    except AttributeError:
+        pass
+    return base_img_t, base_label, feat_means_dev
+
+
+def prepare_source_finish(pending):
+    base_img_t, base_label, feat_means_dev = pending
+    return base_img_t, base_label, np.asarray(feat_means_dev)[0]
+
+
+def prepare_source_inputs(trainer, state, src_img, label_img, load_size,
+                          wh):
+    """Source-side textural inputs from PIL images: the transformed RGB
+    in [-1, 1], the int32 label map at target resolution, and the
+    per-slot source feature-code table [max_instances, feat] (netE +
+    instance means in one device program; its slot order is
+    dense_instance_slots(base_label)).  The ONE implementation shared by
+    this CLI, cli/edit_benchmark's per-source cache and
+    EditChain.generate — the math must stay identical across all callers
+    for the fused == file chain parity guarantee (tests/test_chain.py).
+    Exactly prepare_source_finish(prepare_source_begin(...))."""
+    return prepare_source_finish(prepare_source_begin(
+        trainer, state, src_img, label_img, load_size, wh))
 
 
 def assemble_edit_conditioning(trainer, state, base_img_t, base_label,

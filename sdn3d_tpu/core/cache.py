@@ -77,6 +77,12 @@ def enable_compilation_cache(subdir: str | None = None) -> str | None:
         import jax
 
         jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # persist even sub-second compiles: serving retraces tiny
+        # per-shape programs (e.g. the per-n crop pad), and on the relay
+        # even a trivial compile costs a round trip — jax's default 1 s
+        # threshold would replay them in every process forever
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.0)
     except Exception:
         # leave the env var as the fallback; jax reads it at config init
         pass

@@ -220,6 +220,25 @@ class EditChain:
             return keep_largest_detections(
                 self.infer_cfg, *det.detect(variables, image_rgb))
 
+    def detect_begin(self, image_rgb: np.ndarray):
+        """Dispatch one frame's detection program (fetch streaming);
+        detect_finish(pending) == detect(image_rgb) byte-for-byte."""
+        assert self.detector is not None, \
+            "EditChain built without a detector; pass dets= to edit_frame"
+        from sdn3d_tpu.utils import phases
+        det, variables = self.detector
+        with phases.phase("det.detect"):
+            return det.detect_begin(variables, image_rgb)
+
+    def detect_finish(self, pending):
+        from sdn3d_tpu.pipelines.derender_infer import \
+            keep_largest_detections
+        from sdn3d_tpu.utils import phases
+        det, _ = self.detector
+        with phases.phase("det.detect"):
+            return keep_largest_detections(
+                self.infer_cfg, *det.detect_finish(pending))
+
     def derender(self, image_rgb: np.ndarray, dets,
                  operations: Optional[List[dict]] = None,
                  cache_key: Optional[str] = None) -> Dict[str, object]:
@@ -471,12 +490,17 @@ class EditChain:
         self.stage_s["semantic"] += _time.perf_counter() - t0
 
         t0 = _time.perf_counter()
-        dets_list = []
-        for r in requests:
-            dets = r.get("dets")
-            if dets is None:
-                dets = self.detect(r["image_rgb"])
-            dets_list.append(dets)
+        # dispatch EVERY frame's detection program before materializing
+        # any fetch: the packed fetches stream while later frames'
+        # detection (and the already-queued semantic programs) execute,
+        # instead of a dispatch->fetch->unmold round trip per frame
+        dets_list = [r.get("dets") for r in requests]
+        det_pending = [self.detect_begin(r["image_rgb"])
+                       if d is None else None
+                       for r, d in zip(requests, dets_list)]
+        for i, p in enumerate(det_pending):
+            if p is not None:
+                dets_list[i] = self.detect_finish(p)
 
         enc_frames, enc_slots = [], []
         encoded_list: List[object] = []
@@ -520,7 +544,8 @@ class EditChain:
 
         from PIL import Image
 
-        from sdn3d_tpu.cli.edit_vkitti import prepare_source_inputs
+        from sdn3d_tpu.cli.edit_vkitti import (prepare_source_begin,
+                                               prepare_source_finish)
         from sdn3d_tpu.pipelines.derender_infer import (
             derender_encode_batch_finish, derender_render_begin)
 
@@ -562,20 +587,32 @@ class EditChain:
         self.stage_s["geometric"] += _time.perf_counter() - t0
 
         t0 = _time.perf_counter()
+        # dispatch EVERY uncached source's netE program before
+        # materializing any fetch (same overlap trick as the detection
+        # split in stage A): the per-source ~50 ms relay round trip
+        # rides under the next sources' PIL transforms and dispatches
         prepared = []
+        pending = []
         for r, label in zip(requests, labels):
             key = r.get("cache_key")
             cached = self._src_cache.get(key) if key is not None else None
             if cached is None:
                 with phases.phase("tex.prepare"):
-                    cached = prepare_source_inputs(
+                    pending.append(prepare_source_begin(
                         self.textural_trainer, self.textural_state,
                         Image.fromarray(r["image_rgb"]),
                         Image.fromarray(label.astype(np.uint8)),
-                        self._tex_args.load_size, self._wh)
-                if key is not None:
-                    self._src_cache.put(key, cached)
+                        self._tex_args.load_size, self._wh))
+            else:
+                pending.append(None)
             prepared.append(cached)
+        for i, p in enumerate(pending):
+            if p is not None:
+                with phases.phase("tex.prepare"):
+                    prepared[i] = prepare_source_finish(p)
+                key = requests[i].get("cache_key")
+                if key is not None:
+                    self._src_cache.put(key, prepared[i])
         self.stage_s["textural"] += _time.perf_counter() - t0
         return {"requests": requests, "labels": labels,
                 "pending_render": pending_render, "prepared": prepared}

@@ -96,23 +96,40 @@ class MaskRCNNDetector:
                          self.config.image_max_dim], jnp.float32),
             train=False)
 
-    def detect(self, variables, image_rgb: np.ndarray,
-               mask_threshold: float = 0.5
-               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """image_rgb [H, W, 3] uint8 -> (class_ids [N], masks [N,1,H,W],
-        rois [N,4] pixel coords in the original frame)."""
+    def detect_begin(self, variables, image_rgb: np.ndarray):
+        """Dispatch the packed detection program for one frame and start
+        its d2h fetch streaming; returns an opaque pending handle for
+        detect_finish.  Splitting dispatch from unmold lets a chunked
+        caller (pipelines/chain.py stage A) queue every frame's program
+        before materializing any fetch, so the ~50 ms relay round trip
+        and the host unmold ride under the next frames' device compute
+        instead of serializing after each one."""
         import jax.numpy as jnp
+
+        cfg = self.config
+        molded, window, scale = resize_image(image_rgb, cfg.image_min_dim,
+                                             cfg.image_max_dim)
+        packed = self._detect_packed(                   # ONE d2h fetch
+            variables, jnp.asarray(molded), jnp.asarray(self.anchors),
+            jnp.asarray(window, jnp.float32))
+        try:
+            packed.copy_to_host_async()
+        except AttributeError:
+            pass
+        from sdn3d_tpu.utils import phases
+        phases.add_bytes("det.detect", molded, packed)
+        return (packed, window, scale, image_rgb.shape[:2])
+
+    def detect_finish(self, pending, mask_threshold: float = 0.5
+                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Materialize detect_begin's packed fetch and unmold it to
+        (class_ids [N], masks [N,1,H,W], rois [N,4] original-frame pixel
+        coords) — byte-identical to detect()."""
         from PIL import Image as PILImage
 
         cfg = self.config
-        H, W = image_rgb.shape[:2]
-        molded, window, scale = resize_image(image_rgb, cfg.image_min_dim,
-                                             cfg.image_max_dim)
-        packed = np.asarray(self._detect_packed(        # ONE d2h fetch
-            variables, jnp.asarray(molded), jnp.asarray(self.anchors),
-            jnp.asarray(window, jnp.float32)))
-        from sdn3d_tpu.utils import phases
-        phases.add_bytes("det.detect", molded, packed)
+        packed_dev, window, scale, (H, W) = pending
+        packed = np.asarray(packed_dev)
 
         D = cfg.detection_max_instances
         mh, mw = cfg.mask_shape
@@ -161,3 +178,14 @@ class MaskRCNNDetector:
         return (np.asarray(class_ids, np.int32),
                 np.stack(full_masks).astype(np.float32),
                 np.asarray(rois, np.float32))
+
+    def detect(self, variables, image_rgb: np.ndarray,
+               mask_threshold: float = 0.5
+               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """image_rgb [H, W, 3] uint8 -> (class_ids [N], masks [N,1,H,W],
+        rois [N,4] pixel coords in the original frame).  Exactly
+        detect_finish(detect_begin(...)) — the split exists for chunked
+        overlap; this synchronous form is the reference protocol
+        (maskrcnn/model.py:1610-1654)."""
+        return self.detect_finish(self.detect_begin(variables, image_rgb),
+                                  mask_threshold)

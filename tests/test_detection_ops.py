@@ -175,3 +175,38 @@ def test_detect_packed_matches_unpacked_apply():
         masks_ref, cid[:, None, None, None], axis=-1)[..., 0]
     np.testing.assert_array_equal(packed[D * 7:].reshape(D, mh, mw),
                                   own_ref)
+
+
+def test_detect_split_matches_sync():
+    """detect_begin/detect_finish (chunked overlap: dispatch every
+    frame's program before materializing any fetch) must reproduce the
+    synchronous detect() byte-for-byte, including when the finishes are
+    materialized after ALL dispatches (the stage-A ordering in
+    pipelines/chain.py)."""
+    import jax
+    from sdn3d_tpu.models.maskrcnn import MaskRCNNConfig
+    from sdn3d_tpu.pipelines.detect import MaskRCNNDetector
+
+    cfg = MaskRCNNConfig(
+        num_classes=3, image_min_dim=128, image_max_dim=128,
+        rpn_anchor_scales=(8, 16, 32, 64, 128),
+        pre_nms_limit=200, post_nms_rois_inference=50,
+        detection_min_confidence=0.0, detection_max_instances=10,
+        stage_sizes=(2, 2, 2, 2))
+    det = MaskRCNNDetector(config=cfg)
+    variables = det.init(jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(1)
+    frames = []
+    for i in range(3):
+        img = (rng.rand(96, 128, 3) * 255).astype(np.uint8)
+        img[20 + 10 * i:70, 30:100 + 5 * i] = [200, 60, 40 + 40 * i]
+        frames.append(img)
+
+    sync = [det.detect(variables, f) for f in frames]
+    pend = [det.detect_begin(variables, f) for f in frames]
+    split = [det.detect_finish(p) for p in pend]
+    for (ca, ma, ra), (cb, mb, rb) in zip(sync, split):
+        np.testing.assert_array_equal(ca, cb)
+        np.testing.assert_array_equal(ma, mb)
+        np.testing.assert_array_equal(ra, rb)
