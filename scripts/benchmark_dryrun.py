@@ -95,6 +95,12 @@ def main():
                          "items 2+3)")
     ap.add_argument("--phases", action="store_true",
                     help="pass --phases to the fused chain runs")
+    ap.add_argument("--rows", default=None,
+                    help="comma list restricting --serving_matrix to a "
+                         "subset of its five rows (keys: fused, "
+                         "batched8, pipelined8, maskrcnn, "
+                         "maskrcnn_pipelined8); other rows keep their "
+                         "previous values in --out")
     args = ap.parse_args()
     if args.fused_only:
         args.fused = True
@@ -165,20 +171,29 @@ def main():
         # fresh process paying its own jit compiles (steady_s_per_pair
         # excludes the compile chunk in every row, so rows compare
         # like-for-like)
-        run_fused(out, source="gt", batch_pairs=1,
-                  key="result_fused", wall_key="fused_chain_s")
-        run_fused(out, source="gt", batch_pairs=8,
-                  key="result_fused_batched8",
-                  wall_key="fused_batched8_chain_s")
-        run_fused(out, source="gt", batch_pairs=8, pipeline=True,
-                  key="result_fused_pipelined8",
-                  wall_key="fused_pipelined8_chain_s")
-        run_fused(out, source="maskrcnn", batch_pairs=1,
-                  key="result_fused_maskrcnn",
-                  wall_key="fused_maskrcnn_chain_s")
-        run_fused(out, source="maskrcnn", batch_pairs=8, pipeline=True,
-                  key="result_fused_maskrcnn_pipelined8",
-                  wall_key="fused_maskrcnn_pipelined8_chain_s")
+        rows = (set(args.rows.split(",")) if args.rows else
+                {"fused", "batched8", "pipelined8", "maskrcnn",
+                 "maskrcnn_pipelined8"})
+        if "fused" in rows:
+            run_fused(out, source="gt", batch_pairs=1,
+                      key="result_fused", wall_key="fused_chain_s")
+        if "batched8" in rows:
+            run_fused(out, source="gt", batch_pairs=8,
+                      key="result_fused_batched8",
+                      wall_key="fused_batched8_chain_s")
+        if "pipelined8" in rows:
+            run_fused(out, source="gt", batch_pairs=8, pipeline=True,
+                      key="result_fused_pipelined8",
+                      wall_key="fused_pipelined8_chain_s")
+        if "maskrcnn" in rows:
+            run_fused(out, source="maskrcnn", batch_pairs=1,
+                      key="result_fused_maskrcnn",
+                      wall_key="fused_maskrcnn_chain_s")
+        if "maskrcnn_pipelined8" in rows:
+            run_fused(out, source="maskrcnn", batch_pairs=8,
+                      pipeline=True,
+                      key="result_fused_maskrcnn_pipelined8",
+                      wall_key="fused_maskrcnn_pipelined8_chain_s")
         out["serving_matrix_note"] = (
             "all fused rows measured back-to-back in one serving_matrix "
             "invocation on the same device; gt rows differ only in "
