@@ -129,10 +129,18 @@ def main():
     # (max - min) / median across blocks so the artifact carries its own
     # error bars.  Interleaved single-process measurements put the device
     # time at ~135 ms/iter for this workload.
+    # One unmeasured warm-up block first: the relay's dispatch pipeline
+    # ramps over the first ~dozen executions (measured: first block
+    # 115.9 obj/s vs 151.6-152.9 for the rest), which would otherwise
+    # dominate `spread` with startup, not steady-state, variance.
     n_iters = 12
     n_blocks = 5
     rates = []
     k = 0
+    for _ in range(n_iters):
+        k += 1
+        out = step_jit(verts, faces, thetas + 0.01 * k, trans)
+    np.asarray(out[3])
     for _ in range(n_blocks):
         t0 = time.perf_counter()
         for _ in range(n_iters):
