@@ -108,7 +108,14 @@ def main():
                  + maps["depth"].sum())
         return maps["silhouette"], maps["normal"], maps["depth"], fence
 
-    step_jit = jax.jit(step)
+    # AOT-compile: the measurement loop calls the executable directly,
+    # and its XLA cost analysis feeds the flops/MFU columns (the Pallas
+    # raster kernel is opaque to the analysis, so `flops` covers the
+    # XLA portion only — transforms, AA pooling, normal/depth math)
+    from sdn3d_tpu.utils.flops import compiled_costs, mfu_row
+
+    step_jit = jax.jit(step).lower(verts, faces, thetas, trans).compile()
+    costs = compiled_costs(step_jit)
     out = step_jit(verts, faces, thetas, trans)
     np.asarray(out[3])  # force warmup execution + fetch
 
@@ -152,6 +159,11 @@ def main():
 
     objects_per_sec = float(np.median(rates))
     spread = (max(rates) - min(rates)) / objects_per_sec
+    iter_s = B / objects_per_sec
+    roofline = mfu_row(costs["flops"], costs["bytes"], iter_s)
+    roofline["mfu_note"] = ("XLA-portion only: the Pallas raster kernel "
+                            "is opaque to cost analysis (its own "
+                            "roofline: scripts/prof_roofline.py)")
     print(json.dumps({
         "metric": "batched multi-object 2.5D render throughput (sil+normal+depth, 256^2 AA)",
         "value": round(objects_per_sec, 2),
@@ -159,6 +171,11 @@ def main():
         "vs_baseline": round(objects_per_sec / REFERENCE_OBJECTS_PER_SEC, 2),
         "spread": round(spread, 3),
         "blocks": [round(r, 2) for r in rates],
+        # protocol provenance: one unmeasured 12-iter warm-up block runs
+        # before the measured blocks (round 4 change; round-3 numbers
+        # included the relay dispatch ramp in their spread)
+        "warmup_blocks": 1,
+        "roofline": roofline,
     }))
 
 

@@ -27,6 +27,18 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EDIT_JSON = "/root/reference/assets/vkitti_edit_benchmark.json"
+MATRIX_ROW_KEYS = ("fused", "batched8", "pipelined8", "maskrcnn",
+                   "maskrcnn_pipelined8")
+
+
+def _git_head():
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
 
 
 def run(cmd, env=None):
@@ -104,6 +116,11 @@ def main():
     args = ap.parse_args()
     if args.fused_only:
         args.fused = True
+    if args.rows:
+        unknown = set(args.rows.split(",")) - set(MATRIX_ROW_KEYS)
+        if unknown:
+            ap.error("unknown --rows key(s) %s; known: %s"
+                     % (sorted(unknown), ",".join(MATRIX_ROW_KEYS)))
 
     work = args.work
     os.makedirs(work, exist_ok=True)
@@ -172,31 +189,49 @@ def main():
         # excludes the compile chunk in every row, so rows compare
         # like-for-like)
         rows = (set(args.rows.split(",")) if args.rows else
-                {"fused", "batched8", "pipelined8", "maskrcnn",
-                 "maskrcnn_pipelined8"})
+                set(MATRIX_ROW_KEYS))
+        # per-row provenance: which invocation/commit actually measured
+        # each row (a --rows re-land leaves the other rows' values and
+        # provenance untouched, so the artifact records its own mix)
+        prov = out.setdefault("row_provenance", {})
+        stamp = {"commit": _git_head(),
+                 "invocation_rows": ",".join(sorted(rows)),
+                 "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                      time.gmtime())}
         if "fused" in rows:
             run_fused(out, source="gt", batch_pairs=1,
                       key="result_fused", wall_key="fused_chain_s")
+            prov["fused"] = dict(stamp)
         if "batched8" in rows:
             run_fused(out, source="gt", batch_pairs=8,
                       key="result_fused_batched8",
                       wall_key="fused_batched8_chain_s")
+            prov["batched8"] = dict(stamp)
         if "pipelined8" in rows:
             run_fused(out, source="gt", batch_pairs=8, pipeline=True,
                       key="result_fused_pipelined8",
                       wall_key="fused_pipelined8_chain_s")
+            prov["pipelined8"] = dict(stamp)
         if "maskrcnn" in rows:
             run_fused(out, source="maskrcnn", batch_pairs=1,
                       key="result_fused_maskrcnn",
                       wall_key="fused_maskrcnn_chain_s")
+            prov["maskrcnn"] = dict(stamp)
         if "maskrcnn_pipelined8" in rows:
             run_fused(out, source="maskrcnn", batch_pairs=8,
                       pipeline=True,
                       key="result_fused_maskrcnn_pipelined8",
                       wall_key="fused_maskrcnn_pipelined8_chain_s")
+            prov["maskrcnn_pipelined8"] = dict(stamp)
+        back_to_back = rows == set(MATRIX_ROW_KEYS)
         out["serving_matrix_note"] = (
-            "all fused rows measured back-to-back in one serving_matrix "
-            "invocation on the same device; gt rows differ only in "
+            ("all fused rows measured back-to-back in one serving_matrix "
+             "invocation on the same device; " if back_to_back else
+             "PARTIAL re-land: only rows [%s] were re-measured this "
+             "invocation — other rows keep values from earlier "
+             "invocations (see row_provenance for the per-row "
+             "commit/timestamp mix); " % ",".join(sorted(rows)))
+            + "gt rows differ only in "
             "--batch_pairs/--pipeline (pipelined rows never carry "
             "--phases: the attribution barriers would serialize the "
             "overlap being measured); the maskrcnn rows run Mask R-CNN "

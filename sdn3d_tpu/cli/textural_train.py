@@ -100,8 +100,12 @@ def main(argv=None):
         state, step0 = restore_checkpoint(args.ckpt_dir, state)
         print(f"resumed from step {step0}")
 
-    g_step = jax.jit(trainer.make_g_step())
-    d_step = jax.jit(trainer.make_d_step())
+    # one fused jit per iteration: G update + device-resident history
+    # pool + D update (pipelines/textural.py:make_train_iteration) — no
+    # per-iteration host round-trips
+    train_iter = jax.jit(trainer.make_train_iteration())
+    pool = (trainer.device_pool(args.fine_height, args.fine_width)
+            if cfg.pool_size > 0 else None)
 
     import jax.numpy as jnp
     for it in range(args.num_iters):
@@ -110,17 +114,11 @@ def main(argv=None):
                      dataset.batch(rng, args.batch_size).items()}
         else:
             batch = synthetic_batch(args, rng, cfg)
-        key = jax.random.PRNGKey(it)
-        kg, kd = jax.random.split(key)
-        state, g_losses = g_step(state, batch, kg)
-        if cfg.pool_size > 0:
-            fake_concat = trainer.pooled_fake_concat(state, batch, kd)
-            state, d_losses = d_step(state, batch, kd, fake_concat)
-        else:
-            state, d_losses = d_step(state, batch, kd)
+        state, losses, pool = train_iter(state, batch,
+                                         jax.random.PRNGKey(it), pool)
         if it % 10 == 0:
             msg = " ".join(f"{k}={float(v):.3f}"
-                           for k, v in {**g_losses, **d_losses}.items())
+                           for k, v in losses.items())
             print(f"iter {it}: {msg}", flush=True)
         if (it + 1) % args.save_every == 0 or it + 1 == args.num_iters:
             save_checkpoint(args.ckpt_dir, it + 1, state, meta=vars(args))

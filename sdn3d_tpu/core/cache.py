@@ -22,27 +22,54 @@ DEFAULT_CACHE_DIR = "/tmp/sdn3d_jax_cache"
 
 
 def _host_fingerprint() -> str:
-    """Stable fingerprint of this host's CPU feature set.
+    """Fingerprint of this host's CPU identity AND the XLA that compiles
+    for it.
 
-    XLA:CPU AOT executables record the compile machine's features and
-    warn 'could lead to execution errors such as SIGILL' when a host
-    with a different feature set loads them (observed when /tmp cache
-    dirs outlive a session and the next run lands on different
-    hardware).  Partitioning by feature-set hash makes cross-host
-    loads structurally impossible."""
+    XLA:CPU AOT executables record the compile machine's *target
+    features* and warn 'could lead to execution errors such as SIGILL'
+    when a loading process's features differ.  Those recorded features
+    are not just /proc/cpuinfo flags: XLA also bakes in tuning
+    pseudo-features (e.g. '+prefer-no-gather') chosen per CPU *model*
+    and per XLA *version* — MULTICHIP_r04.json caught exactly such a
+    warning surviving a flags-only partition after a jaxlib bump.  So
+    the key is (arch, cpu model name, cpu flags, jaxlib version): any
+    of those changing moves the partition.
+
+    Scope of the claim (measured r5, controlled experiment): the
+    partition protects against loading executables compiled for a
+    DIFFERENT machine/XLA.  It cannot silence the loader's warning
+    itself — jaxlib 0.9's cpu_aot_loader compares the compile-time
+    feature string (which includes the tuning pseudo-features) against
+    raw host CPU detection (which never includes them), so EVERY
+    persistent-cache CPU AOT load warns about +prefer-no-gather/-scatter
+    even when the same process on the same host wrote the entry seconds
+    earlier, and the loaded executable is bit-identical to a fresh
+    compile (pinned: test_cpu_aot_cache_load_is_benign)."""
     import hashlib
     import platform
 
-    feats = platform.machine()
+    feats = [platform.machine()]
+    try:
+        import jaxlib
+
+        feats.append(getattr(jaxlib, "__version__", "unknown"))
+    except Exception:
+        feats.append("no-jaxlib")
     try:
         with open("/proc/cpuinfo") as f:
+            got = set()
             for line in f:
-                if line.startswith(("flags", "Features")):
-                    feats += " ".join(sorted(line.split(":", 1)[1].split()))
+                key = line.split(":", 1)[0].strip()
+                if key in ("model name", "flags", "Features") \
+                        and key not in got:
+                    got.add(key)
+                    feats.append(
+                        " ".join(sorted(line.split(":", 1)[1].split())))
+                if len(got) == 2:
                     break
     except OSError:
         pass
-    return hashlib.sha1(feats.encode()).hexdigest()[:12]
+    return hashlib.sha1("|".join(feats).encode()).hexdigest()[:12]
 
 
 def enable_compilation_cache(subdir: str | None = None) -> str | None:
@@ -52,27 +79,30 @@ def enable_compilation_cache(subdir: str | None = None) -> str | None:
     before or after backends initialize (the config flag is read at
     compile time, not backend-init time).
 
-    `subdir` partitions the cache (e.g. "cpu" for forced-CPU runs):
-    TPU-relay processes also write host-side CPU executables whose
-    recorded machine features can differ from a plain CPU process's —
-    XLA then warns 'could lead to SIGILL' when the other kind of process
-    loads them.  Forced-CPU entry points (tests, dryrun_multichip) use
-    their own partition so the two populations never cross-load."""
+    EVERY partition embeds `_host_fingerprint()`: TPU-relay processes
+    also write host-side CPU AOT executables, and a round-5 verify
+    drive caught a forced-CPU process loading a stale default-partition
+    entry with mismatched tuning features (+prefer-no-gather) — so the
+    default partition is fingerprinted too, not just the "cpu" one.
+    `subdir="cpu"` keeps forced-CPU entry points (tests,
+    dryrun_multichip) in their own population: their executables can
+    record different features than a TPU-relay process's host-side
+    programs on the SAME machine.  A fingerprint partition inherited
+    from a parent process (env var) is re-derived, so children always
+    land in the partition matching their own host + jaxlib."""
     if os.environ.get("SDN3D_NO_COMPILATION_CACHE"):
         return None
-    cache_dir = (os.environ.get("JAX_COMPILATION_CACHE_DIR")
-                 or os.environ.get("SDN3D_CACHE_DIR")
-                 or DEFAULT_CACHE_DIR)
-    if subdir:
-        if subdir == "cpu":
-            # forced-CPU executables are host-feature-specific (AOT);
-            # see _host_fingerprint
-            subdir = "cpu-" + _host_fingerprint()
-        cache_dir = os.path.join(cache_dir, subdir)
-        os.environ["JAX_COMPILATION_CACHE_DIR"] = cache_dir
-    # keep subprocesses (CLI stages spawned by scripts, PrefetchLoader
-    # workers) on the same cache
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
+    base = (os.environ.get("JAX_COMPILATION_CACHE_DIR")
+            or os.environ.get("SDN3D_CACHE_DIR")
+            or DEFAULT_CACHE_DIR)
+    bn = os.path.basename(base)
+    if bn.startswith(("hw-", "cpu-")):   # parent already partitioned
+        base = os.path.dirname(base)
+    prefix = "cpu" if subdir == "cpu" else (subdir or "hw")
+    cache_dir = os.path.join(base, prefix + "-" + _host_fingerprint())
+    # propagate to subprocesses (CLI stages spawned by scripts,
+    # PrefetchLoader workers) — they re-derive via the strip above
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = cache_dir
     try:
         import jax
 

@@ -27,7 +27,7 @@ from sdn3d_tpu.models.pix2pixhd import (
     get_edges, instance_average, instance_feature_means, gan_loss_lsgan,
     feature_matching_loss, kl_loss, reparameterize)
 from sdn3d_tpu.models.vgg import Vgg19Features, vgg_loss
-from sdn3d_tpu.utils.image_pool import ImagePool
+from sdn3d_tpu.utils.image_pool import DeviceImagePool, ImagePool
 
 
 @dataclasses.dataclass(frozen=True)
@@ -384,6 +384,116 @@ class TexturalTrainer:
                 losses
 
         return d_step
+
+    def device_pool(self, height: int, width: int) -> DeviceImagePool:
+        """Device-resident history pool sized for this config's
+        fake-concat stack [H, W, netD_input_nc] (f32: the concat of
+        one-hot conditioning with the G output promotes to f32)."""
+        return DeviceImagePool.create(
+            self.cfg.pool_size, (height, width, self.cfg.netD_input_nc))
+
+    def make_train_iteration(self):
+        """ONE jitted program per training iteration: G update + history
+        pool + D update, zero host round-trips.
+
+        This is the reference's actual per-iteration semantics
+        (train.py:61-95 + pix2pixHD_model.py:176-246): a single forward
+        produces the fake; loss_G updates G/E and loss_D_fake sees the
+        SAME (detached, possibly pool-swapped) fake.  The two-dispatch
+        g_step/d_step path regenerates the fake with the updated G for
+        its D step — both orderings are valid GAN alternations, but the
+        fused one is reference-faithful AND saves a full G forward.
+        The r4 bench protocol additionally fetched the [B,H,W,18] stack
+        to the host pool and re-uploaded it (~17 MB + a sync per
+        iteration over the relay) — the pool now lives on device
+        (utils/image_pool.py:DeviceImagePool; VERDICT r4 item 4).
+
+        Signature: iteration(state, batch, rng, pool=None) ->
+        (state, losses, pool).  `rng` drives the global-encoder z sample
+        and the pool swap; pass a `device_pool(...)` when
+        cfg.pool_size > 0 and thread it through iterations.
+        """
+        c = self.cfg
+
+        def iteration(state: TexturalState, batch: Dict[str, jnp.ndarray],
+                      rng: Optional[jax.Array] = None,
+                      pool: Optional[DeviceImagePool] = None
+                      ) -> Tuple[TexturalState, Dict[str, jnp.ndarray],
+                                 Optional[DeviceImagePool]]:
+            if c.use_global_encoder and rng is None:
+                raise ValueError("train_iteration requires rng when "
+                                 "cfg.use_global_encoder")
+            if pool is not None and rng is None:
+                raise ValueError("train_iteration requires rng when a "
+                                 "history pool is used")
+            kz = kpool = None
+            if rng is not None:
+                kz, kpool = jax.random.split(rng)
+
+            def loss_fn(p):
+                fake, input_label, (mu, logvar) = self._generate(
+                    p["g"], p["e"], batch, p["ge"], kz)
+                pred_fake = self.netD.apply(
+                    {"params": state.params_d},
+                    jnp.concatenate([input_label, fake], axis=-1))
+                pred_real = self.netD.apply(
+                    {"params": state.params_d},
+                    jnp.concatenate([input_label, batch["image"]],
+                                    axis=-1))
+                loss_gan = gan_loss_lsgan(pred_fake, True)
+                loss_feat = feature_matching_loss(
+                    pred_fake, pred_real, c.num_d, c.n_layers_d,
+                    c.lambda_feat)
+                loss_l1 = c.lambda_l1 * jnp.mean(
+                    jnp.abs(fake - batch["image"]))
+                loss_vgg = 0.0
+                if c.use_vgg_loss:
+                    loss_vgg = c.lambda_feat * vgg_loss(state.vgg, fake,
+                                                        batch["image"])
+                total = loss_gan + loss_feat + loss_l1 + loss_vgg
+                aux = {"G_GAN": loss_gan, "G_GAN_Feat": loss_feat,
+                       "G_L1": loss_l1, "G_VGG": loss_vgg}
+                if c.use_global_encoder:
+                    loss_kl = c.lambda_kl * kl_loss(mu, logvar)
+                    total = total + loss_kl
+                    aux["E_VAE"] = loss_kl
+                return total, (aux, fake, input_label)
+
+            params = {"g": state.params_g, "e": state.params_e,
+                      "ge": state.params_ge}
+            grads, (g_losses, fake, input_label) = jax.grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_g = self.tx_g.update(grads, state.opt_g, params)
+            new = optax.apply_updates(params, updates)
+
+            fake_concat = jax.lax.stop_gradient(
+                jnp.concatenate([input_label, fake], axis=-1))
+            if pool is not None:
+                fake_concat, pool = pool.query(fake_concat, kpool)
+
+            def d_loss_fn(pd):
+                pred_fake = self.netD.apply({"params": pd}, fake_concat)
+                pred_real = self.netD.apply(
+                    {"params": pd},
+                    jnp.concatenate([input_label, batch["image"]],
+                                    axis=-1))
+                l_fake = gan_loss_lsgan(pred_fake, False)
+                l_real = gan_loss_lsgan(pred_real, True)
+                return 0.5 * (l_fake + l_real), {"D_fake": l_fake,
+                                                 "D_real": l_real}
+
+            grads_d, d_losses = jax.grad(d_loss_fn, has_aux=True)(
+                state.params_d)
+            updates_d, opt_d = self.tx_d.update(grads_d, state.opt_d,
+                                                state.params_d)
+            pd = optax.apply_updates(state.params_d, updates_d)
+            new_state = dataclasses.replace(
+                state, step=state.step + 1, params_g=new["g"],
+                params_e=new["e"], params_ge=new["ge"], opt_g=opt_g,
+                params_d=pd, opt_d=opt_d)
+            return new_state, {**g_losses, **d_losses}, pool
+
+        return iteration
 
     def fake_inference(self, state: TexturalState,
                        batch: Dict[str, jnp.ndarray],

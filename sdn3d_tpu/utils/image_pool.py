@@ -8,6 +8,9 @@ config uses pool_size=0 (train_options.py:35), where this is a pass-through
 
 from __future__ import annotations
 
+import flax
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -33,3 +36,63 @@ class ImagePool:
             else:
                 out.append(img)
         return np.stack(out)
+
+
+@flax.struct.dataclass
+class DeviceImagePool:
+    """Device-resident GAN history buffer — ImagePool.query semantics
+    (util/image_pool.py:6-32) expressed as a jit-traceable pytree so the
+    pool update can live INSIDE the fused train iteration instead of
+    round-tripping the [B, H, W, C] fake-concat through the host (the
+    r4 bench paid ~17 MB of relay transfer + a sync per iteration for a
+    pass-through pool; VERDICT r4 item 4).
+
+    Per-sample sequential semantics match the host pool exactly: while
+    the buffer is filling, append and return the input; once full, with
+    p=0.5 return (and replace) a uniformly-drawn historical entry, else
+    return the input.  Decisions are drawn from a jax PRNG key rather
+    than the host pool's numpy RandomState — same distribution,
+    different stream (the pool is stochastic by contract; the reference
+    default pool_size=0 bypasses it entirely, train_options.py:35)."""
+
+    buf: jnp.ndarray                    # [pool_size, H, W, C]
+    n: jnp.ndarray                      # int32 fill count
+    pool_size: int = flax.struct.field(pytree_node=False, default=0)
+
+    @classmethod
+    def create(cls, pool_size: int, shape, dtype=jnp.float32
+               ) -> "DeviceImagePool":
+        return cls(buf=jnp.zeros((pool_size,) + tuple(shape), dtype),
+                   n=jnp.zeros((), jnp.int32), pool_size=pool_size)
+
+    def query(self, images: jnp.ndarray, key: jax.Array
+              ) -> tuple[jnp.ndarray, "DeviceImagePool"]:
+        """images [B, ...] -> (same-shaped batch, updated pool)."""
+        if self.pool_size == 0:
+            return images, self
+
+        P = self.pool_size
+
+        def body(carry, x):
+            buf, n = carry
+            img, k = x
+            k1, k2 = jax.random.split(k)
+            not_full = n < P
+            use_hist = jax.random.uniform(k1) > 0.5
+            idx_hist = jax.random.randint(k2, (), 0, jnp.maximum(n, 1))
+            widx = jnp.where(not_full, n, idx_hist)
+            old = jax.lax.dynamic_index_in_dim(buf, widx, 0,
+                                               keepdims=False)
+            out = jnp.where(not_full | ~use_hist, img, old)
+            # append (filling) / swap (full & use_hist) / no-op write
+            new_row = jnp.where(not_full | use_hist, img, old)
+            buf = jax.lax.dynamic_update_index_in_dim(buf, new_row,
+                                                      widx, 0)
+            return (buf, n + not_full.astype(n.dtype)), out
+
+        keys = jax.random.split(key, images.shape[0])
+        (buf, n), outs = jax.lax.scan(
+            body, (self.buf, self.n),
+            (images.astype(self.buf.dtype), keys))
+        return outs.astype(images.dtype), \
+            self.replace(buf=buf, n=n)

@@ -18,13 +18,20 @@ def test_compilation_cache_wired_into_package():
     (core/cache.py; NOTES_ROUND3.md observed 219 s / 1153 s / 159 s for
     the SAME program)."""
     import sdn3d_tpu  # noqa: F401  (already imported; idempotent)
-    from sdn3d_tpu.core.cache import (DEFAULT_CACHE_DIR,
+    from sdn3d_tpu.core.cache import (_host_fingerprint,
                                       enable_compilation_cache)
 
-    d = enable_compilation_cache()
-    assert d == os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                               DEFAULT_CACHE_DIR)
-    assert jax.config.jax_compilation_cache_dir == d
+    try:
+        d = enable_compilation_cache()
+        assert d == os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        assert jax.config.jax_compilation_cache_dir == d
+        # default partition is host-fingerprinted too (a TPU-relay
+        # process's host-side CPU AOT entries must not be loadable by a
+        # later session on different hardware/jaxlib)
+        assert os.path.basename(d) == "hw-" + _host_fingerprint()
+    finally:
+        # the suite runs forced-CPU: put it back on its own partition
+        enable_compilation_cache(subdir="cpu")
 
 
 def test_cpu_cache_partition_is_host_fingerprinted():
@@ -39,6 +46,53 @@ def test_cpu_cache_partition_is_host_fingerprinted():
     assert len(fp) == 12 and fp == _host_fingerprint()  # stable
     d = enable_compilation_cache(subdir="cpu")
     assert os.path.basename(d) == "cpu-" + fp
+
+
+def test_cpu_cache_partition_moves_with_jaxlib_version(monkeypatch):
+    """r4's flags-only partition let a jaxlib bump cross-load AOT entries
+    whose XLA tuning pseudo-features (+prefer-no-gather) differed,
+    firing the SIGILL-risk warning (MULTICHIP_r04.json tail; VERDICT r4
+    item 7).  The key must therefore move when jaxlib's version does."""
+    import jaxlib
+
+    from sdn3d_tpu.core.cache import _host_fingerprint
+
+    fp = _host_fingerprint()
+    monkeypatch.setattr(jaxlib, "__version__",
+                        "0.0.test-" + getattr(jaxlib, "__version__", ""),
+                        raising=False)
+    assert _host_fingerprint() != fp
+
+
+def test_cpu_aot_cache_load_is_benign(tmp_path):
+    """jaxlib 0.9's cpu_aot_loader warns '+prefer-no-gather ... SIGILL'
+    on EVERY persistent-cache CPU AOT load — it compares the compile-time
+    tuning pseudo-features against raw host detection, so even an entry
+    written seconds earlier by the same host+jaxlib warns (measured r5).
+    Pin what actually matters: the loaded executable's output is
+    bit-identical to the fresh compile's (VERDICT r4 item 7 downgrade
+    path: 'downgrade the claim and pin benignity')."""
+    import subprocess
+    import sys
+
+    prog = (
+        "import os; os.environ['SDN3D_NO_COMPILATION_CACHE']='1'\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.config.update('jax_compilation_cache_dir', %r)\n"
+        "jax.config.update('jax_persistent_cache_min_compile_time_secs',"
+        " 0.0)\n"
+        "import jax.numpy as jnp, numpy as np\n"
+        "f = jax.jit(lambda x: jnp.sin(x) @ jnp.cos(x.T) + 7.125)\n"
+        "out = np.asarray(f(jnp.arange(64.0).reshape(8, 8)))\n"
+        "print('SUM', repr(float(out.sum())))\n" % str(tmp_path / "cache"))
+    runs = [subprocess.run([sys.executable, "-c", prog],
+                           capture_output=True, text=True, timeout=300)
+            for _ in range(2)]
+    for r in runs:
+        assert r.returncode == 0, r.stderr[-2000:]
+    sums = [r.stdout.strip().splitlines()[-1] for r in runs]
+    assert sums[0] == sums[1] and sums[0].startswith("SUM "), sums
 
 
 def test_checkpoint_roundtrip(tmp_path):

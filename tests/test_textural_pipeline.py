@@ -187,6 +187,95 @@ def test_image_pool_wiring(setup):
     assert len(trainer.fake_pool.images) >= 1
 
 
+def test_device_image_pool_semantics():
+    """DeviceImagePool must reproduce the host ImagePool's per-sample
+    sequential semantics (util/image_pool.py:6-32): fill in order
+    returning inputs; once full, return either the input (buffer
+    untouched) or a historical entry that gets replaced by the input."""
+    from sdn3d_tpu.utils.image_pool import DeviceImagePool
+
+    P, shape = 2, (3,)
+    pool = DeviceImagePool.create(P, shape)
+    imgs = jnp.arange(12.0).reshape(4, 3)
+
+    # filling phase: returns inputs, buffer filled in order
+    out, pool = DeviceImagePool.query(pool, imgs[:2], jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(imgs[:2]))
+    np.testing.assert_array_equal(np.asarray(pool.buf),
+                                  np.asarray(imgs[:2]))
+    assert int(pool.n) == 2
+
+    # full phase: each output is the input (no buffer change at that
+    # step) or a pre-step buffer row whose slot now holds the input
+    for k in range(5):
+        before = np.asarray(pool.buf)
+        out, pool = DeviceImagePool.query(pool, imgs[2:3],
+                                          jax.random.PRNGKey(100 + k))
+        after = np.asarray(pool.buf)
+        o = np.asarray(out[0])
+        x = np.asarray(imgs[2])
+        if np.array_equal(o, x):
+            # ambiguous only if x already equals a buffer row (it never
+            # does here: imgs rows are distinct and x was never swapped
+            # in while o == x means no swap happened)
+            assert np.array_equal(before, after) or \
+                any(np.array_equal(after[i], x) for i in range(P))
+        else:
+            hit = [i for i in range(P) if np.array_equal(before[i], o)]
+            assert hit, "returned a value not from history"
+            assert np.array_equal(after[hit[0]], x), "swap did not store"
+        assert int(pool.n) == 2
+
+    # pool_size=0: pass-through, identical object semantics
+    p0 = DeviceImagePool.create(0, shape)
+    out, p0b = DeviceImagePool.query(p0, imgs, jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(imgs))
+
+
+@pytest.mark.slow
+def test_fused_train_iteration_matches_sequential(setup):
+    """make_train_iteration (ONE jit: G update + pool + D update, the
+    CLI's path since r5) must compute the same math as its sequential
+    decomposition: g_step, then d_step on the OLD-params fake (the
+    reference's one-forward-feeds-both-losses semantics,
+    train.py:61-95).  Tolerance not byte-equality: one fused program
+    fuses differently than three.  The parity optimizer is SGD — Adam's
+    first step is ~lr*sign(g), which amplifies 1-ulp fusion differences
+    on near-zero gradients into +-2*lr param differences (observed on
+    the D biases)."""
+    import optax
+
+    trainer0, _, batch = setup
+    trainer = TexturalTrainer(trainer0.cfg)
+    trainer.tx_g = optax.sgd(1e-3)
+    trainer.tx_d = optax.sgd(1e-3)
+    state = trainer.init(jax.random.PRNGKey(0), 48, 64)
+    it = jax.jit(trainer.make_train_iteration())
+    fused_state, fused_losses, _ = it(state, batch)
+
+    # sequential equivalent
+    fake, input_label, _ = trainer._generate(state.params_g,
+                                             state.params_e, batch,
+                                             state.params_ge, None)
+    fake_concat = jnp.concatenate([input_label, fake], axis=-1)
+    g_step = jax.jit(trainer.make_g_step())
+    d_step = jax.jit(trainer.make_d_step())
+    seq_state, g_losses = g_step(state, batch)
+    seq_state, d_losses = d_step(seq_state, batch,
+                                 fake_concat=fake_concat)
+    seq_losses = {**g_losses, **d_losses}
+
+    for k, v in fused_losses.items():
+        np.testing.assert_allclose(float(v), float(seq_losses[k]),
+                                   rtol=2e-4, err_msg=k)
+    for name in ("params_g", "params_d", "params_e"):
+        a = jax.tree_util.tree_leaves(getattr(fused_state, name))
+        b = jax.tree_util.tree_leaves(getattr(seq_state, name))
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       atol=2e-5, err_msg=name)
+
+
 def test_encode_input_shapes(cfg_batch):
     trainer, batch = cfg_batch
     x = encode_input(trainer.cfg, batch["label"], batch["inst"])

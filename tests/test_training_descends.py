@@ -74,18 +74,18 @@ def test_textural_gan_training_descends():
         "normal": jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32)),
     }
     state = trainer.init(jax.random.PRNGKey(0), H, W)
-    g_step = jax.jit(trainer.make_g_step())
-    d_step = jax.jit(trainer.make_d_step())
+    # the fused single-dispatch iteration (G update + device pool + D
+    # update in ONE jit) is the CLI's training path since r5
+    train_iter = jax.jit(trainer.make_train_iteration())
+    pool = trainer.device_pool(H, W)
 
     l1s = []
     for i in range(36):
-        key = jax.random.PRNGKey(i)
-        state, g_losses = g_step(state, batch, key)
-        # pool path lives outside jit (pooled_fake_concat)
-        fake_concat = trainer.pooled_fake_concat(state, batch, key)
-        state, _ = d_step(state, batch, key, fake_concat=fake_concat)
-        l1s.append(float(g_losses["G_L1"]))
-        assert np.isfinite(list(g_losses.values())).all()
+        state, losses, pool = train_iter(state, batch,
+                                         jax.random.PRNGKey(i), pool)
+        l1s.append(float(losses["G_L1"]))
+        assert np.isfinite(list(losses.values())).all()
+    assert int(pool.n) > 0, "history pool never filled"
     assert _mean(l1s[-6:]) < 0.75 * _mean(l1s[:6]), l1s
 
 
