@@ -9,8 +9,13 @@ reports achieved vs theoretical rates:
   - silhouette walk: VPU ops/s against the v5e VPU peak (8x128 lanes x 2
     issue x ~0.94 GHz ~= 1.9 Tops f32), plus HBM GB/s for the planes read.
 
-Usage: python scripts/prof_roofline.py [image_size] [walk]
+Usage: python scripts/prof_roofline.py [image_size] [walk] [--json OUT]
+
+With --json the same measurements are written as a structured artifact
+(ROOFLINE.json): VERDICT r4 item 6 — the geo.render ceiling defense must
+live in a committed artifact with current numbers, not NOTES prose.
 """
+import json
 import sys
 import time
 
@@ -25,6 +30,11 @@ from sdn3d_tpu.geometry import camera
 from sdn3d_tpu.ops import rasterize as R
 from sdn3d_tpu.ops import rasterize_pallas as RP
 
+JSON_OUT = None
+if "--json" in sys.argv:
+    i = sys.argv.index("--json")
+    JSON_OUT = sys.argv[i + 1] if len(sys.argv) > i + 1 else "ROOFLINE.json"
+    del sys.argv[i:i + 2]
 SIZE = int(sys.argv[1]) if len(sys.argv) > 1 else 512
 WALK = int(sys.argv[2]) if len(sys.argv) > 2 else 64
 B = 16
@@ -130,6 +140,20 @@ def main():
     print(f"v3 raster fwd: {dt*1e3:8.1f} ms  -> {ns_face:6.1f} ns/face"
           f" = {cycles:5.0f} scalar cycles/face (scalar-issue bound);"
           f" HBM {hbm/dt:6.1f} GB/s = {hbm/dt/V5E_HBM_GBS*100:4.1f}% of peak")
+    rows = {"workload": {"B": B, "F": int(F), "raster_size": SIZE,
+                         "walk": WALK,
+                         "device": jax.devices()[0].device_kind},
+            "v3_raster_forward": {
+                "geom_pack_ms": round(dt_pack * 1e3, 1),
+                "full_ms": round(dt_full * 1e3, 1),
+                "kernel_ms": round(dt * 1e3, 1),
+                "ns_per_face": round(ns_face, 1),
+                "scalar_cycles_per_face": round(cycles, 0),
+                "bound": "scalar-issue (per-face sequencing on the "
+                         "scalar core; VPU fill is per-face, HBM <1%)",
+                "hbm_gb_per_s": round(hbm / dt, 1),
+                "pct_hbm_peak": round(hbm / dt / V5E_HBM_GBS * 100, 2),
+            }}
 
     # ---- silhouette walk kernel (one axis), production planes ----
     S = SIZE
@@ -157,6 +181,29 @@ def main():
           f" {ops/dt/1e12:5.2f} Tops/s = {ops/dt/V5E_VPU_OPS*100:4.1f}% of"
           f" VPU peak; HBM {hbm/dt:6.1f} GB/s"
           f" = {hbm/dt/V5E_HBM_GBS*100:4.1f}% of peak")
+    rows["walk_kernel_one_axis"] = {
+        "ms": round(dt * 1e3, 1),
+        "tops_per_s": round(ops / dt / 1e12, 3),
+        "pct_vpu_peak": round(ops / dt / V5E_VPU_OPS * 100, 1),
+        "hbm_gb_per_s": round(hbm / dt, 1),
+        "pct_hbm_peak": round(hbm / dt / V5E_HBM_GBS * 100, 1),
+        "bound": "VPU (vector walk passes; alpha/grad re-reads per "
+                 "row-tile keep HBM secondary)",
+    }
+    if JSON_OUT:
+        rows["defense"] = (
+            "geo.render's device phase is the v3 Pallas raster forward: "
+            "a per-face scalar-sequenced kernel. Post-unroll it runs at "
+            "the scalar_cycles_per_face above with HBM ~irrelevant; the "
+            "per-face scalar sequencing (bbox -> tile loop setup per "
+            "face) is the bound, so further gains need an algorithmic "
+            "change (tile x face binning on the MXU, or pre-cull "
+            "reducing F), not more unrolling. The silhouette-VJP walk "
+            "kernel is VPU-bound at the fraction above. Measured on "
+            "the production face pipeline (winding-fold fill_back).")
+        with open(JSON_OUT, "w") as f:
+            json.dump(rows, f, indent=2)
+        print("wrote", JSON_OUT)
 
 
 if __name__ == "__main__":

@@ -63,6 +63,7 @@ def main(argv=None):
                   if args.lpips_ckpt else None)
     l1s = []
     lpipss = []
+    ssims, psnrs = [], []
     pair_times = []
     src_cache = {}   # per-source transforms + feature encode (pure
                      # recompute elision across pairs sharing a source)
@@ -101,6 +102,9 @@ def main(argv=None):
         lp = metrics.lpips(tensor2im(fake), tensor2im(target_t),
                            variables=lpips_vars)
         lpipss.append(lp)
+        # weight-free quality metrics (utils/metrics.py; util2.py:48-59)
+        ssims.append(metrics.ssim(tensor2im(fake), tensor2im(target_t)))
+        psnrs.append(metrics.psnr(tensor2im(fake), tensor2im(target_t)))
         gallery.add_images({"generated": tensor2im(fake),
                             "target": tensor2im(target_t)},
                            item.target_name)
@@ -111,6 +115,8 @@ def main(argv=None):
     result = {
         "mean_L1": float(np.mean(l1s)),
         "mean_LPIPS": float(np.mean(lpipss)),
+        "mean_SSIM": float(np.mean(ssims)),
+        "mean_PSNR": float(np.mean(psnrs)),
         "lpips_backbone": "ported" if lpips_vars is not None
                           else "random-init (uncalibrated)",
         "pairs": len(l1s),

@@ -117,7 +117,7 @@ def main(argv=None):
 
     lpips_vars = (metrics.load_lpips(args.lpips_ckpt)
                   if args.lpips_ckpt else None)
-    l1s, lpipss = [], []
+    l1s, lpipss, ssims, psnrs = [], [], [], []
     pair_times = []    # (seconds, pairs) per processed chunk
     dets_cache = {}    # GT decode per source (scenegt PNG + LUT walk)
     scoring_s = 0.0    # metric/gallery/dump cost — NOT part of the edit
@@ -194,6 +194,13 @@ def main(argv=None):
                                variables=lpips_vars)
             l1s.append(l1)
             lpipss.append(lp)
+            # weight-free quality metrics (utils/metrics.py, the
+            # reference's own grab-bag, util2.py:48-59) — unlike the
+            # random-init LPIPS these are calibration-independent
+            ssims.append(metrics.ssim(tensor2im(out["fake"]),
+                                      tensor2im(target_t)))
+            psnrs.append(metrics.psnr(tensor2im(out["fake"]),
+                                      tensor2im(target_t)))
             gallery.add_images({"generated": tensor2im(out["fake"]),
                                 "target": tensor2im(target_t)},
                                item.target_name)
@@ -209,6 +216,8 @@ def main(argv=None):
     result = {
         "mean_L1": float(np.mean(l1s)),
         "mean_LPIPS": float(np.mean(lpipss)),
+        "mean_SSIM": float(np.mean(ssims)),
+        "mean_PSNR": float(np.mean(psnrs)),
         "lpips_backbone": "ported" if lpips_vars is not None
                           else "random-init (uncalibrated)",
         "pairs": len(l1s),

@@ -30,6 +30,11 @@ def build_argparser():
                         "(reference --no_global_encoder=0)")
     p.add_argument("--pool_size", type=int, default=0,
                    help="GAN history buffer for the D fake loss")
+    p.add_argument("--split", default="train", choices=["train", "test"],
+                   help="VKITTI split to enumerate (the synthetic "
+                        "benchmark fixture's frames all fall in 'test'; "
+                        "scripts/quality_scratch.py overfits them "
+                        "deliberately)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--no_augment", action="store_true",
                    help="disable train-time color jitter "
@@ -81,7 +86,7 @@ def main(argv=None):
             and args.geo_dir:
         from sdn3d_tpu.data.textural_data import TexturalVKittiDataset
         dataset = TexturalVKittiDataset(
-            args.data_root, args.segm_dir, args.geo_dir, split="train",
+            args.data_root, args.segm_dir, args.geo_dir, split=args.split,
             load_size=args.load_size,
             fine_wh=(args.fine_width, args.fine_height),
             max_instances=cfg.max_instances,

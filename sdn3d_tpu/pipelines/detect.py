@@ -67,7 +67,7 @@ class MaskRCNNDetector:
         # validity / the per-detection OWN-CLASS mask plane come back in
         # one packed fetch (the full [D, mh, mw, C] mask stack is C x
         # larger and the host only ever reads channel class_id).
-        def _detect_packed(variables, img_u8, anchors, window):
+        def _detect_packed_one(variables, img_u8, anchors, window):
             import jax.numpy as jnp
 
             mean = jnp.asarray(self.config.mean_pixel, jnp.float32)
@@ -84,7 +84,26 @@ class MaskRCNNDetector:
             return jnp.concatenate([dets.reshape(-1), valid,
                                     own.astype(jnp.float32).reshape(-1)])
 
-        self._detect_packed = jax.jit(_detect_packed)
+        self._detect_packed = jax.jit(_detect_packed_one)
+
+        # Batched variant: the whole fixed-shape inference graph vmapped
+        # over an [N] frame axis — ONE dispatch and ONE packed fetch for
+        # N frames.  The reference's batch-1 limit (model.py:358) was
+        # forced by its CUDA NMS; the rebuild's masked fixed-shape graph
+        # has no such constraint (VERDICT r4 item 3).  NOTE: XLA tiles
+        # convs differently per batch size, so batched float outputs can
+        # differ from the per-frame program by ~1 ulp — callers that pin
+        # byte contracts use the per-frame program at N=1 and batch
+        # consistently otherwise (pipelines/chain.py:_detect_missing).
+        def _detect_packed_n(variables, imgs_u8, anchors, windows):
+            import jax
+
+            return jax.vmap(
+                lambda im, w: _detect_packed_one(variables, im,
+                                                 anchors, w))(
+                imgs_u8, windows)
+
+        self._detect_packed_batch = jax.jit(_detect_packed_n)
 
     def init(self, rng):
         import jax.numpy as jnp
@@ -120,16 +139,84 @@ class MaskRCNNDetector:
         phases.add_bytes("det.detect", molded, packed)
         return (packed, window, scale, image_rgb.shape[:2])
 
+    def detect_begin_batch(self, variables, images_rgb,
+                           pad_to: int | None = None):
+        """Dispatch ONE batched detection program for N frames (async
+        packed fetch); detect_finish_batch unmolds per frame.
+
+        `pad_to` >= N pads the batch by repeating the last frame so a
+        chunked caller compiles ONE program per chunk size regardless of
+        how many frames in the chunk actually need detection (cache hits
+        vary per chunk; a fresh XLA program per count would both
+        recompile and fork the ulp-level batch contract between chunks).
+        N == 1 with no padding delegates to the per-frame program —
+        byte-identical to detect(), keeping the unbatched serving mode's
+        file-contract byte parity."""
+        import jax.numpy as jnp
+
+        n = len(images_rgb)
+        pad_to = pad_to or n
+        assert pad_to >= n
+        if pad_to == 1:
+            return ("one", self.detect_begin(variables, images_rgb[0]))
+        cfg = self.config
+        molded_l, metas = [], []
+        for img in images_rgb:
+            molded, window, scale = resize_image(
+                img, cfg.image_min_dim, cfg.image_max_dim)
+            molded_l.append(molded)
+            metas.append((window, scale, img.shape[:2]))
+        molded_l += [molded_l[-1]] * (pad_to - n)
+        windows = np.asarray([m[0] for m in metas]
+                             + [metas[-1][0]] * (pad_to - n), np.float32)
+        packed = self._detect_packed_batch(
+            variables, jnp.asarray(np.stack(molded_l)),
+            jnp.asarray(self.anchors), jnp.asarray(windows))
+        try:
+            packed.copy_to_host_async()
+        except AttributeError:
+            pass
+        from sdn3d_tpu.utils import phases
+        phases.add_bytes("det.detect", np.stack(molded_l), packed)
+        return ("batch", packed, metas)
+
+    def detect_finish_batch(self, pending, mask_threshold: float = 0.5):
+        """-> list of (class_ids, masks, rois), one per REAL frame (the
+        padding rows are dropped)."""
+        if pending[0] == "one":
+            return [self.detect_finish(pending[1], mask_threshold)]
+        _, packed_dev, metas = pending
+        packed = np.asarray(packed_dev)
+        return [self._unmold_packed(packed[i], window, scale, hw,
+                                    mask_threshold)
+                for i, (window, scale, hw) in enumerate(metas)]
+
+    def detect_batch(self, variables, images_rgb,
+                     mask_threshold: float = 0.5):
+        """N frames -> list of (class_ids, masks, rois) via ONE device
+        dispatch (detect_finish_batch(detect_begin_batch(...)))."""
+        return self.detect_finish_batch(
+            self.detect_begin_batch(variables, images_rgb),
+            mask_threshold)
+
     def detect_finish(self, pending, mask_threshold: float = 0.5
                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Materialize detect_begin's packed fetch and unmold it to
         (class_ids [N], masks [N,1,H,W], rois [N,4] original-frame pixel
         coords) — byte-identical to detect()."""
+        packed_dev, window, scale, (H, W) = pending
+        return self._unmold_packed(np.asarray(packed_dev), window, scale,
+                                   (H, W), mask_threshold)
+
+    def _unmold_packed(self, packed: np.ndarray, window, scale, hw,
+                       mask_threshold: float = 0.5
+                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Host unmold of one frame's packed buffer
+        (model.py:2084-2128)."""
         from PIL import Image as PILImage
 
         cfg = self.config
-        packed_dev, window, scale, (H, W) = pending
-        packed = np.asarray(packed_dev)
+        H, W = hw
 
         D = cfg.detection_max_instances
         mh, mw = cfg.mask_shape

@@ -196,3 +196,67 @@ class MaskRCNNTrainer:
             }, losses
 
         return train_step
+
+    def make_train_step_batched(self):
+        """B>1 training step: the per-image graph vmapped over a leading
+        frame axis, losses meaned across frames, ONE optimizer update.
+
+        The reference emulated batching by accumulating B batch-1
+        backward passes before each optimizer step (model.py:1958-1963,
+        forced by its CUDA-NMS batch-1 graph); the rebuild's fixed-shape
+        graph vmaps directly (VERDICT r4 item 3).  Inputs gain a leading
+        [B] axis vs make_train_step: images [B, H, W, 3], rpn_match
+        [B, A], rpn_target_bbox [B, R, 4], gt_* [B, ...]; `rng` is split
+        per frame (detection-target sampling stays independent per
+        image, model.py:1790-1805).  Loss semantics match gradient
+        accumulation up to the mean (the reference sums losses over the
+        accumulation window then steps once)."""
+        def train_step(state, images, rpn_match, rpn_target_bbox,
+                       gt_class_ids, gt_boxes, gt_masks, rng, anchors
+                       ) -> Tuple[Any, Dict[str, jnp.ndarray]]:
+            B = images.shape[0]
+
+            def loss_fn(params):
+                def per_image(img, m, tb, gci, gb, gm, key):
+                    out = self.model.apply(
+                        {"params": params,
+                         "batch_stats": state["batch_stats"]},
+                        img[None], anchors, gci, gb, gm, key,
+                        method=MaskRCNN.train_forward)
+                    tgt = out["targets"]
+                    return {
+                        "rpn_class_loss": MT.rpn_class_loss(
+                            m, out["rpn_class_logits"]),
+                        "rpn_bbox_loss": MT.rpn_bbox_loss(
+                            tb, m, out["rpn_bbox"]),
+                        "mrcnn_class_loss": MT.mrcnn_class_loss(
+                            tgt["class_ids"], tgt["roi_valid"],
+                            out["mrcnn_class_logits"]),
+                        "mrcnn_bbox_loss": MT.mrcnn_bbox_loss(
+                            tgt["deltas"], tgt["class_ids"],
+                            tgt["is_pos"], out["mrcnn_bbox"]),
+                        "mrcnn_mask_loss": MT.mrcnn_mask_loss(
+                            tgt["masks"], tgt["class_ids"],
+                            tgt["is_pos"], out["mrcnn_masks"]),
+                    }
+
+                keys = jax.random.split(rng, B)
+                per = jax.vmap(per_image)(images, rpn_match,
+                                          rpn_target_bbox, gt_class_ids,
+                                          gt_boxes, gt_masks, keys)
+                losses = {k: jnp.mean(v) for k, v in per.items()}
+                return sum(losses.values()), losses
+
+            grads, losses = jax.grad(
+                loss_fn, has_aux=True)(state["params"])
+            updates, opt_state = self.tx.update(grads, state["opt_state"],
+                                                state["params"])
+            params = optax.apply_updates(state["params"], updates)
+            return {
+                "params": params,
+                "batch_stats": state["batch_stats"],
+                "opt_state": opt_state,
+                "step": state["step"] + 1,
+            }, losses
+
+        return train_step

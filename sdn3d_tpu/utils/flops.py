@@ -17,6 +17,13 @@ Caveats baked into the numbers:
     no native f32 matmul path, XLA emulates it over the bf16 MXU with
     multi-pass accumulation, so bf16-peak is the one hardware ceiling
     both dtypes share.
+  - 'bytes accessed' is LOGICAL HLO traffic — operands and results of
+    every HLO op, as if none fused.  XLA's fusion keeps most
+    intermediates on-chip, so pct_peak_hbm is an upper bound on real
+    HBM pressure and can exceed 100% (measured 400% on the render
+    bench); treat pct_peak_flops as the hard utilization floor and
+    pct_peak_hbm as 'how much fusion is doing', not a bandwidth
+    measurement.
 """
 
 from __future__ import annotations
@@ -77,16 +84,19 @@ def mfu_row(flops: float, bytes_: float, seconds: float,
     HBM peaks; 'bound' names the higher-utilization resource."""
     row: dict[str, Any] = {
         "flops": flops,
-        "hbm_bytes": bytes_,
+        "hlo_bytes_accessed": bytes_,
     }
     if seconds and seconds > 0:
         row["tflops_per_s"] = round(flops / seconds / 1e12, 3)
-        row["hbm_gb_per_s"] = round(bytes_ / seconds / 1e9, 2)
     peaks = device_peaks(device)
     if peaks and seconds and seconds > 0:
         pf, pb = peaks
         row["pct_peak_flops"] = round(100.0 * flops / seconds / pf, 2)
-        row["pct_peak_hbm"] = round(100.0 * bytes_ / seconds / pb, 2)
+        # logical-bytes bound: >100% means fusion kept intermediates
+        # on-chip (see module docstring), not a bandwidth violation
+        row["pct_peak_hbm_upper_bound"] = round(
+            100.0 * bytes_ / seconds / pb, 2)
         row["bound"] = ("mxu" if row["pct_peak_flops"] >=
-                        row["pct_peak_hbm"] else "hbm")
+                        min(row["pct_peak_hbm_upper_bound"], 100.0)
+                        else "hbm<=")
     return row

@@ -151,3 +151,63 @@ def test_maskrcnn_train_step():
         float(jnp.abs(p1[k] - p0[k]).sum()) for k in p0 if k[0] == "rpn")
     assert resnet_delta == 0.0
     assert head_delta > 0.0
+
+
+def test_maskrcnn_train_step_batched_matches_mean_of_singles():
+    """make_train_step_batched (vmapped B>1 graph, VERDICT r4 item 3)
+    must produce per-loss values equal to the MEAN of the per-image
+    losses the batch-1 step computes with the corresponding split keys —
+    the same semantics as the reference's gradient accumulation window
+    (model.py:1958-1963), in ONE program."""
+    trainer = MaskRCNNTrainer(config=CFG, stage="heads")
+    state = trainer.init(jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(3)
+    B = 2
+    images = jnp.asarray(rng.rand(B, 128, 128, 3).astype(np.float32))
+    gt_boxes_px = [
+        np.asarray([[20, 20, 80, 90], [40, 60, 100, 120]], np.float32),
+        np.asarray([[10, 30, 70, 100], [50, 10, 110, 80]], np.float32),
+    ]
+    G = 4
+    match_l, tbox_l, gids_l, gb_l = [], [], [], []
+    for bp in gt_boxes_px:
+        m, tb = build_rpn_targets(np.asarray(trainer.anchors), bp, CFG)
+        match_l.append(m)
+        tbox_l.append(tb)
+        gids_l.append(np.pad(np.asarray([1, 2]), (0, G - 2)))
+        gb_l.append(np.pad(bp / 128.0, ((0, G - 2), (0, 0))))
+    match = jnp.asarray(np.stack(match_l))
+    tbox = jnp.asarray(np.stack(tbox_l))
+    gids = jnp.asarray(np.stack(gids_l))
+    gboxes = jnp.asarray(np.stack(gb_l))
+    gmasks = jnp.asarray(np.ones((B, G, 28, 28), np.float32))
+
+    key = jax.random.PRNGKey(7)
+    bstep = jax.jit(trainer.make_train_step_batched())
+    bstate, blosses = bstep(state, images, match, tbox, gids, gboxes,
+                            gmasks, key, trainer.anchors)
+    for k, v in blosses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+
+    sstep = jax.jit(trainer.make_train_step())
+    keys = jax.random.split(key, B)
+    singles = []
+    for i in range(B):
+        _, losses = sstep(state, images[i:i + 1], match[i], tbox[i],
+                          gids[i], gboxes[i], gmasks[i], keys[i],
+                          trainer.anchors)
+        singles.append(losses)
+    for k in blosses:
+        mean = np.mean([float(s[k]) for s in singles])
+        np.testing.assert_allclose(float(blosses[k]), mean, rtol=2e-4,
+                                   atol=1e-6, err_msg=k)
+
+    # and the batched optimizer update respects the stage freeze
+    import flax
+    p0 = flax.traverse_util.flatten_dict(state["params"])
+    p1 = flax.traverse_util.flatten_dict(bstate["params"])
+    resnet_delta = sum(
+        float(jnp.abs(p1[k] - p0[k]).sum()) for k in p0
+        if k[:2] == ("fpn", "resnet"))
+    assert resnet_delta == 0.0
