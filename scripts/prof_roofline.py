@@ -16,8 +16,12 @@ With --json the same measurements are written as a structured artifact
 live in a committed artifact with current numbers, not NOTES prose.
 """
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import numpy as np
 import jax
