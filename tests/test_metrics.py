@@ -126,3 +126,31 @@ def test_port_lpips_layout():
     got = jax.tree_util.tree_map(np.shape, variables["params"])
     want = jax.tree_util.tree_map(np.shape, template)
     assert got == want
+
+
+def test_flops_mfu_row_math():
+    """utils/flops.py: cost extraction + roofline row arithmetic (the
+    columns every r5 benchmark artifact carries)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdn3d_tpu.utils.flops import (compiled_costs, device_peaks,
+                                       mfu_row)
+
+    a = jnp.ones((128, 128))
+    compiled = jax.jit(lambda x: (x @ x).sum()).lower(a).compile()
+    costs = compiled_costs(compiled)
+    # 128^3 * 2 matmul flops plus the reduction
+    assert costs["flops"] >= 2 * 128 ** 3
+    assert costs["bytes"] > 0
+
+    row = mfu_row(1e12, 1e9, 1.0)
+    assert row["tflops_per_s"] == 1.0
+    peaks = device_peaks()
+    if peaks:   # known device kind (TPU); CPU test runs skip the pcts
+        pf, pb = peaks
+        assert abs(row["pct_peak_flops"] - 100e12 / pf) < 1e-6
+        assert row["bound"] in ("mxu", "hbm<=")
+    # no-time row carries only the raw counters
+    row0 = mfu_row(5.0, 7.0, 0.0)
+    assert row0 == {"flops": 5.0, "hlo_bytes_accessed": 7.0}
