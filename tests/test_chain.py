@@ -384,3 +384,63 @@ def test_small_fetch_matches_full_fetch(chain_env):
         np.testing.assert_array_equal(b["geo"]["instance_small"],
                                       s["geo"]["instance_small"])
         np.testing.assert_array_equal(b["fake"], s["fake"])
+
+
+def test_detect_missing_batches_one_dispatch():
+    """EditChain.detect_missing_begin must put every det-less frame of a
+    chunk through ONE batched detection dispatch padded to the chunk
+    size (r5; per-frame batch-1 dispatches made detection the maskrcnn
+    serving mode's bottleneck), leave preset dets untouched, and be a
+    no-op when nothing is missing."""
+    import jax
+
+    from sdn3d_tpu.models.maskrcnn import MaskRCNNConfig
+    from sdn3d_tpu.pipelines.chain import ChainConfig, EditChain
+    from sdn3d_tpu.pipelines.detect import MaskRCNNDetector
+
+    cfg = MaskRCNNConfig(
+        num_classes=3, image_min_dim=128, image_max_dim=128,
+        rpn_anchor_scales=(8, 16, 32, 64, 128), pre_nms_limit=200,
+        post_nms_rois_inference=50, detection_min_confidence=0.0,
+        detection_max_instances=10, stage_sizes=(1, 1, 1, 1))
+    det = MaskRCNNDetector(config=cfg)
+    variables = det.init(jax.random.PRNGKey(0))
+
+    calls = {"batch": 0, "sizes": []}
+    orig = det.detect_begin_batch
+
+    def counting(variables, images, pad_to=None):
+        calls["batch"] += 1
+        calls["sizes"].append((len(images), pad_to))
+        return orig(variables, images, pad_to=pad_to)
+
+    det.detect_begin_batch = counting
+
+    chain = EditChain.__new__(EditChain)   # only the detector surface
+    chain.detector = (det, variables)
+    from sdn3d_tpu.models.derenderer import TargetType
+    from sdn3d_tpu.pipelines.derender_infer import DerenderInferConfig
+    chain.infer_cfg = DerenderInferConfig(image_size=64, render_size=64,
+                                          mode=TargetType.extend)
+
+    rng = np.random.RandomState(0)
+    frames = [(rng.rand(96, 128, 3) * 255).astype(np.uint8)
+              for _ in range(3)]
+    preset = ("ids", "masks", "rois")
+    requests = [{"image_rgb": frames[0], "dets": preset},
+                {"image_rgb": frames[1]},
+                {"image_rgb": frames[2]}]
+    dets_list = [r.get("dets") for r in requests]
+    handle = EditChain.detect_missing_begin(chain, requests, dets_list)
+    EditChain.detect_missing_finish(chain, handle, dets_list)
+
+    assert calls["batch"] == 1
+    assert calls["sizes"] == [(2, 3)]      # 2 det-less, padded to chunk 3
+    assert dets_list[0] is preset          # untouched
+    for d in dets_list[1:]:
+        assert isinstance(d, tuple) and len(d) == 3
+
+    # nothing missing -> no dispatch at all
+    handle = EditChain.detect_missing_begin(
+        chain, requests, [preset, preset, preset])
+    assert handle is None
