@@ -309,26 +309,49 @@ def phase_detect(args, root, frames):
     log(f"detect random-init: {before}")
 
     B = args.detect_batch
-    step = jax.jit(trainer.make_train_step_batched())
     rng = np.random.RandomState(0)
     curve = []
     t0 = time.time()
-    for it in range(args.detect_iters):
-        idx = rng.randint(len(examples), size=B)
-        bat = [examples[i] for i in idx]
-        state, losses = step(
-            state,
-            jnp.asarray(np.stack([b["image"] for b in bat])),
-            jnp.asarray(np.stack([b["rpn_match"] for b in bat])),
-            jnp.asarray(np.stack([b["rpn_bbox"] for b in bat])),
-            jnp.asarray(np.stack([b["gt_class_ids"] for b in bat])),
-            jnp.asarray(np.stack([b["gt_boxes"] for b in bat])),
-            jnp.asarray(np.stack([b["gt_masks"] for b in bat])),
-            jax.random.PRNGKey(it), trainer.anchors)
-        if it % 10 == 0 or it + 1 == args.detect_iters:
-            tot = float(sum(float(v) for v in losses.values()))
-            curve.append(round(tot, 4))
-            log(f"detect it {it}: total {curve[-1]}")
+    # The reference never trains stage=all from scratch: its schedule
+    # goes heads -> 4+ -> all with a 10x LR drop (model.py:1846-1877 /
+    # the 3D-SDN 4-stage ladder).  From random init, stage=all at the
+    # full LR diverges (measured: loss 422 -> nan by iter 10); mirror
+    # the staged recipe instead.
+    it_total = args.detect_iters
+    stages = [("heads", args.detect_lr, it_total // 2),
+              ("all", args.detect_lr / 10.0, it_total - it_total // 2)]
+    it_global = 0
+    for stage_name, lr, iters in stages:
+        st_trainer = MaskRCNNTrainer(config=cfg, stage=stage_name,
+                                     learning_rate=lr)
+        state = {"params": state["params"],
+                 "batch_stats": state["batch_stats"],
+                 "opt_state": st_trainer.tx.init(state["params"]),
+                 "step": state["step"]}
+        step = jax.jit(st_trainer.make_train_step_batched())
+        log(f"detect stage {stage_name} lr {lr} iters {iters}")
+        for it in range(iters):
+            idx = rng.randint(len(examples), size=B)
+            bat = [examples[i] for i in idx]
+            state, losses = step(
+                state,
+                jnp.asarray(np.stack([b["image"] for b in bat])),
+                jnp.asarray(np.stack([b["rpn_match"] for b in bat])),
+                jnp.asarray(np.stack([b["rpn_bbox"] for b in bat])),
+                jnp.asarray(np.stack([b["gt_class_ids"] for b in bat])),
+                jnp.asarray(np.stack([b["gt_boxes"] for b in bat])),
+                jnp.asarray(np.stack([b["gt_masks"] for b in bat])),
+                jax.random.PRNGKey(it_global), trainer.anchors)
+            if it_global % 10 == 0 or it + 1 == iters:
+                ld = {k: round(float(v), 3) for k, v in losses.items()}
+                tot = float(sum(ld.values()))
+                curve.append(round(tot, 4))
+                log(f"detect it {it_global} [{stage_name}]: "
+                    f"total {tot:.3f} {ld}")
+                if not np.isfinite(tot):
+                    log("detect: NaN — aborting this stage")
+                    break
+            it_global += 1
     wall = time.time() - t0
 
     after = eval_detect((det, {"params": state["params"],
@@ -369,7 +392,8 @@ def phase_derender(args, root, frames):
     bank = DeviceMeshBank.from_host(load_shapenet_bank(SHAPENET))
     model = Derenderer()
     trainer = DerenderTrainer(model=model, bank=None,
-                              mode=TargetType.finetune, render_size=REN)
+                              mode=TargetType.finetune, render_size=REN,
+                              mask_weight=args.derender_mask_weight)
     table_inst = get_tables("inst", root)
 
     # all fixture objects as (normalized crop, render-frame mask)
@@ -604,8 +628,14 @@ def main():
     ap.add_argument("--semantic_iters", type=int, default=200)
     ap.add_argument("--detect_iters", type=int, default=150)
     ap.add_argument("--detect_batch", type=int, default=2)
+    ap.add_argument("--detect_lr", type=float, default=1e-3)
     ap.add_argument("--derender_iters", type=int, default=200)
     ap.add_argument("--derender_batch", type=int, default=32)
+    ap.add_argument("--derender_mask_weight", type=float, default=1.0,
+                    help="overfit demo: the silhouette is the ONLY "
+                         "quality signal on the fixture (no pose GT), "
+                         "so weight it fully (production default 0.1 "
+                         "balances it against geometry regression)")
     ap.add_argument("--derender_render", type=int, default=192)
     ap.add_argument("--textural_iters", type=int, default=400)
     ap.add_argument("--bench_pairs", type=int, default=24)
