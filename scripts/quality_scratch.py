@@ -281,7 +281,10 @@ def phase_detect(args, root, frames):
         train_rois_per_image=16, detection_min_confidence=0.0,
         detection_max_instances=10, stage_sizes=(1, 1, 1, 1))
         if args.small else MaskRCNNConfig())
-    trainer = MaskRCNNTrainer(config=cfg, stage="all")
+    # from-scratch mode: BN must TRAIN (no COCO running stats exist;
+    # eval-mode BN from random init blows activations up — measured
+    # init RPN NLL ~216 -> NaN regardless of LR/stage)
+    trainer = MaskRCNNTrainer(config=cfg, stage="all", train_bn=True)
     det = MaskRCNNDetector(config=cfg)
     state = trainer.init(jax.random.PRNGKey(0))
     table_inst = get_tables("inst", root)
@@ -323,7 +326,7 @@ def phase_detect(args, root, frames):
     it_global = 0
     for stage_name, lr, iters in stages:
         st_trainer = MaskRCNNTrainer(config=cfg, stage=stage_name,
-                                     learning_rate=lr)
+                                     learning_rate=lr, train_bn=True)
         state = {"params": state["params"],
                  "batch_stats": state["batch_stats"],
                  "opt_state": st_trainer.tx.init(state["params"]),
@@ -393,7 +396,8 @@ def phase_derender(args, root, frames):
     model = Derenderer()
     trainer = DerenderTrainer(model=model, bank=None,
                               mode=TargetType.finetune, render_size=REN,
-                              mask_weight=args.derender_mask_weight)
+                              mask_weight=args.derender_mask_weight,
+                              ffd_coeff_reg=args.derender_ffd_reg)
     table_inst = get_tables("inst", root)
 
     # all fixture objects as (normalized crop, render-frame mask)
@@ -631,6 +635,12 @@ def main():
     ap.add_argument("--detect_lr", type=float, default=1e-3)
     ap.add_argument("--derender_iters", type=int, default=200)
     ap.add_argument("--derender_batch", type=int, default=32)
+    ap.add_argument("--derender_ffd_reg", type=float, default=100.0,
+                    help="FFD coefficient L2 weight; the reference's "
+                         "silhouette-only refinement uses 100.0 "
+                         "(main.py:445) — with the mask loss as the "
+                         "only signal, a weak reg lets FFD chase the "
+                         "fixture rectangles into degenerate meshes")
     ap.add_argument("--derender_mask_weight", type=float, default=1.0,
                     help="overfit demo: the silhouette is the ONLY "
                          "quality signal on the fixture (no pose GT), "

@@ -507,8 +507,8 @@ class MaskRCNN(nn.Module):
 
     def train_forward(self, images: jnp.ndarray, anchors: jnp.ndarray,
                       gt_class_ids: jnp.ndarray, gt_boxes: jnp.ndarray,
-                      gt_masks: jnp.ndarray, rng: jax.Array
-                      ) -> Dict[str, jnp.ndarray]:
+                      gt_masks: jnp.ndarray, rng: jax.Array,
+                      train_bn: bool = False) -> Dict[str, jnp.ndarray]:
         """Training graph (model.py:1783-1821 'training' mode): proposals ->
         detection-target sampling -> heads on the sampled rois.
 
@@ -517,11 +517,18 @@ class MaskRCNN(nn.Module):
         from sdn3d_tpu.models.maskrcnn_train import detection_targets
 
         cfg = self.config
-        # BatchNorm stays in EVAL mode during training — running stats
-        # are used and never updated (model.py:1714-1720 set_bn_eval;
-        # batch size 1 makes batch statistics useless).  `train=False`
-        # here gates ONLY the BN mode; there is no dropout in the model.
-        pyramid = self.fpn(images, train=False)
+        # Default train_bn=False: BatchNorm stays in EVAL mode during
+        # training — running stats are used and never updated
+        # (model.py:1714-1720 set_bn_eval; batch size 1 makes batch
+        # statistics useless).  That parity choice assumes COCO-ported
+        # running stats that already normalize the ±128-scale
+        # mean-subtracted inputs; FROM RANDOM INIT eval-mode BN is
+        # identity and activations blow up (measured: init RPN NLL ~216
+        # → NaN within 10 steps at any LR).  train_bn=True enables
+        # normal BN training (batch stats mutable) for from-scratch
+        # runs — the reference has no from-scratch story at all (it
+        # always transfers from COCO).  There is no dropout either way.
+        pyramid = self.fpn(images, train=train_bn)
         mrcnn_feature_maps = pyramid[:4]
 
         rpn_class_logits, rpn_probs, rpn_bbox = self._rpn_forward(pyramid)
@@ -535,9 +542,9 @@ class MaskRCNN(nn.Module):
                                 gt_boxes, gt_masks, rng, cfg)
 
         cls_logits, cls_probs, bbox_deltas = self.classifier(
-            mrcnn_feature_maps, tgt["rois"], train=False)
+            mrcnn_feature_maps, tgt["rois"], train=train_bn)
         pred_masks = self.mask(mrcnn_feature_maps, tgt["rois"],
-                               train=False)
+                               train=train_bn)
 
         return {
             "rpn_class_logits": rpn_class_logits[0],

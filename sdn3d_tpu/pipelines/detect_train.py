@@ -113,6 +113,12 @@ class MaskRCNNTrainer:
     clipnorm: float = 5.0
     stage: str = "heads"                  # "transfer"|"heads"|"4+"|"all"
     transfer_lr: float = 1e-2            # model.py:1866 transfer group
+    # False = reference parity (BN eval mode, COCO-ported running stats
+    # assumed — model.py:1714-1720).  True = normal BN training for
+    # FROM-SCRATCH runs: with random running stats, eval-mode BN is
+    # identity and the ±128-scale inputs blow activations up (measured
+    # init RPN NLL ~216 → NaN); the reference has no from-scratch mode.
+    train_bn: bool = False
 
     def __post_init__(self):
         self.model = MaskRCNN(config=self.config)
@@ -157,13 +163,25 @@ class MaskRCNNTrainer:
                        gt_class_ids, gt_boxes, gt_masks, rng, anchors
                        ) -> Tuple[Any, Dict[str, jnp.ndarray]]:
             def loss_fn(params):
-                # batch_stats are READ-ONLY: BN runs in eval mode during
-                # training (set_bn_eval, model.py:1714-1720), so the
-                # ported running averages are never overwritten.
-                out = self.model.apply(
-                    {"params": params, "batch_stats": state["batch_stats"]},
-                    images, anchors, gt_class_ids, gt_boxes, gt_masks, rng,
-                    method=MaskRCNN.train_forward)
+                # Default: batch_stats are READ-ONLY — BN runs in eval
+                # mode during training (set_bn_eval,
+                # model.py:1714-1720), so the ported running averages
+                # are never overwritten.  train_bn=True (from-scratch
+                # mode) trains BN normally and returns updated stats.
+                variables = {"params": params,
+                             "batch_stats": state["batch_stats"]}
+                if self.train_bn:
+                    out, mut = self.model.apply(
+                        variables, images, anchors, gt_class_ids,
+                        gt_boxes, gt_masks, rng, train_bn=True,
+                        method=MaskRCNN.train_forward,
+                        mutable=["batch_stats"])
+                    out["_batch_stats"] = mut["batch_stats"]
+                else:
+                    out = self.model.apply(
+                        variables, images, anchors, gt_class_ids,
+                        gt_boxes, gt_masks, rng,
+                        method=MaskRCNN.train_forward)
                 tgt = out["targets"]
                 losses = {
                     "rpn_class_loss": MT.rpn_class_loss(
@@ -181,16 +199,18 @@ class MaskRCNNTrainer:
                         out["mrcnn_masks"]),
                 }
                 total = sum(losses.values())
-                return total, losses
+                return total, (losses,
+                               out.get("_batch_stats",
+                                       state["batch_stats"]))
 
-            grads, losses = jax.grad(
+            grads, (losses, new_stats) = jax.grad(
                 loss_fn, has_aux=True)(state["params"])
             updates, opt_state = self.tx.update(grads, state["opt_state"],
                                                 state["params"])
             params = optax.apply_updates(state["params"], updates)
             return {
                 "params": params,
-                "batch_stats": state["batch_stats"],
+                "batch_stats": new_stats,
                 "opt_state": opt_state,
                 "step": state["step"] + 1,
             }, losses
@@ -218,13 +238,22 @@ class MaskRCNNTrainer:
 
             def loss_fn(params):
                 def per_image(img, m, tb, gci, gb, gm, key):
-                    out = self.model.apply(
-                        {"params": params,
-                         "batch_stats": state["batch_stats"]},
-                        img[None], anchors, gci, gb, gm, key,
-                        method=MaskRCNN.train_forward)
+                    variables = {"params": params,
+                                 "batch_stats": state["batch_stats"]}
+                    if self.train_bn:
+                        out, mut = self.model.apply(
+                            variables, img[None], anchors, gci, gb, gm,
+                            key, train_bn=True,
+                            method=MaskRCNN.train_forward,
+                            mutable=["batch_stats"])
+                        stats = mut["batch_stats"]
+                    else:
+                        out = self.model.apply(
+                            variables, img[None], anchors, gci, gb, gm,
+                            key, method=MaskRCNN.train_forward)
+                        stats = state["batch_stats"]
                     tgt = out["targets"]
-                    return {
+                    return stats, {
                         "rpn_class_loss": MT.rpn_class_loss(
                             m, out["rpn_class_logits"]),
                         "rpn_bbox_loss": MT.rpn_bbox_loss(
@@ -241,20 +270,25 @@ class MaskRCNNTrainer:
                     }
 
                 keys = jax.random.split(rng, B)
-                per = jax.vmap(per_image)(images, rpn_match,
-                                          rpn_target_bbox, gt_class_ids,
-                                          gt_boxes, gt_masks, keys)
+                stats_b, per = jax.vmap(per_image)(
+                    images, rpn_match, rpn_target_bbox, gt_class_ids,
+                    gt_boxes, gt_masks, keys)
                 losses = {k: jnp.mean(v) for k, v in per.items()}
-                return sum(losses.values()), losses
+                # cross-batch BN stat mean — the SyncBN-equivalent
+                # reduction over the vmapped frame axis
+                new_stats = jax.tree_util.tree_map(
+                    lambda x: jnp.mean(x, axis=0), stats_b)
+                return sum(losses.values()), (losses, new_stats)
 
-            grads, losses = jax.grad(
+            grads, (losses, new_stats) = jax.grad(
                 loss_fn, has_aux=True)(state["params"])
             updates, opt_state = self.tx.update(grads, state["opt_state"],
                                                 state["params"])
             params = optax.apply_updates(state["params"], updates)
             return {
                 "params": params,
-                "batch_stats": state["batch_stats"],
+                "batch_stats": (new_stats if self.train_bn
+                                else state["batch_stats"]),
                 "opt_state": opt_state,
                 "step": state["step"] + 1,
             }, losses

@@ -211,3 +211,52 @@ def test_maskrcnn_train_step_batched_matches_mean_of_singles():
         float(jnp.abs(p1[k] - p0[k]).sum()) for k in p0
         if k[:2] == ("fpn", "resnet"))
     assert resnet_delta == 0.0
+
+
+def test_train_bn_mode_normalizes_from_scratch():
+    """train_bn=True (from-scratch mode): BN trains, batch_stats update,
+    and the initial RPN class loss sits at random-guess scale (~ln 2)
+    instead of the exploded activations eval-mode BN produces from
+    random init (measured NLL ~216 at the production config — the
+    reference never trains from scratch; it transfers from COCO)."""
+    trainer = MaskRCNNTrainer(config=CFG, stage="all", train_bn=True)
+    state = trainer.init(jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(5)
+    images = jnp.asarray(rng.rand(1, 128, 128, 3).astype(np.float32)
+                         * 255.0 - 127.0)            # molded scale
+    gt_boxes_px = np.asarray([[20, 20, 80, 90]], np.float32)
+    match, tbox = build_rpn_targets(np.asarray(trainer.anchors),
+                                    gt_boxes_px, CFG)
+    G = 4
+    gt_ids = jnp.asarray(np.pad(np.asarray([1]), (0, G - 1)))
+    gt_boxes = jnp.asarray(np.pad(gt_boxes_px / 128.0,
+                                  ((0, G - 1), (0, 0))))
+    gt_masks = jnp.asarray(np.ones((G, 28, 28), np.float32))
+
+    step = jax.jit(trainer.make_train_step())
+    new_state, losses = step(state, images, jnp.asarray(match),
+                             jnp.asarray(tbox), gt_ids, gt_boxes,
+                             gt_masks, jax.random.PRNGKey(1),
+                             trainer.anchors)
+    assert float(losses["rpn_class_loss"]) < 5.0, losses
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    # running stats moved
+    import flax
+    s0 = flax.traverse_util.flatten_dict(state["batch_stats"])
+    s1 = flax.traverse_util.flatten_dict(new_state["batch_stats"])
+    delta = sum(float(jnp.abs(s1[k] - s0[k]).sum()) for k in s0)
+    assert delta > 0.0
+
+    # batched variant also runs finite with stat updates
+    bstep = jax.jit(trainer.make_train_step_batched())
+    bstate, blosses = bstep(
+        state, images, jnp.asarray(match)[None], jnp.asarray(tbox)[None],
+        gt_ids[None], gt_boxes[None], gt_masks[None],
+        jax.random.PRNGKey(2), trainer.anchors)
+    for k, v in blosses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    s2 = flax.traverse_util.flatten_dict(bstate["batch_stats"])
+    delta2 = sum(float(jnp.abs(s2[k] - s0[k]).sum()) for k in s0)
+    assert delta2 > 0.0
