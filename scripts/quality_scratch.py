@@ -439,28 +439,46 @@ def phase_derender(args, root, frames):
     idx0 = rng.randint(N, size=B)
     state = trainer.init(jax.random.PRNGKey(0), make_batch(idx0))
 
-    def sil_iou(state):
-        """Mean rendered-silhouette IoU vs GT masks over a fixed eval
-        subset (render of the predicted pose/mesh/FFD)."""
-        ious = []
-        for s0 in range(0, min(N, args.eval_frames * 4), B):
-            idx = np.arange(s0, min(s0 + B, N))
-            if len(idx) < B:
-                idx = np.pad(idx, (0, B - len(idx)), mode="edge")
-            b = make_batch(idx)
-            blob = derender_forward(
-                {"params": state.params, "batch_stats": state.batch_stats},
-                model, b["images"], b["roi_norms"], b["focals"], bank,
-                TargetType.finetune, IMG, REN, training=False)
-            sil = np.asarray(blob["_masks"]) > 0.5
-            gt = np.asarray(b["masks"]) > 0.5
-            inter = (sil & gt).sum((1, 2, 3))
-            union = (sil | gt).sum((1, 2, 3))
-            ious.extend((inter / np.maximum(union, 1)).tolist())
-        return round(float(np.mean(ious)), 4)
+    def sil_metrics(state):
+        """Rendered-silhouette metrics vs GT masks over a fixed eval
+        subset, under BOTH cameras: the TRAINING camera (zooms from
+        roi+depth, reference __init__.py:150 — what the mask loss
+        optimizes) and the TEST camera (zoom-to solve,
+        __init__.py:65,202 — what inference/serving renders with).
+        Mask-only training fits the training camera along a
+        depth*scale degeneracy the test camera resolves differently —
+        the reference breaks that degeneracy by pretraining on pose GT
+        (geometry mode) BEFORE any silhouette finetuning."""
+        out = {}
+        for cam, training in (("test_cam", False), ("train_cam", True)):
+            ious, mses = [], []
+            for s0 in range(0, min(N, args.eval_frames * 4), B):
+                idx = np.arange(s0, min(s0 + B, N))
+                if len(idx) < B:
+                    idx = np.pad(idx, (0, B - len(idx)), mode="edge")
+                b = make_batch(idx)
+                blob = derender_forward(
+                    {"params": state.params,
+                     "batch_stats": state.batch_stats},
+                    model, b["images"], b["roi_norms"], b["focals"],
+                    bank, TargetType.finetune, IMG, REN,
+                    training=training,
+                    rng=jax.random.PRNGKey(0) if training else None,
+                    mutable=["batch_stats"] if training else False)
+                soft = np.asarray(blob["_masks"], np.float64)
+                gtf = np.asarray(b["masks"], np.float64)
+                mses.extend(((soft - gtf) ** 2).mean((1, 2, 3)).tolist())
+                sil = soft > 0.5
+                gt = gtf > 0.5
+                inter = (sil & gt).sum((1, 2, 3))
+                union = (sil | gt).sum((1, 2, 3))
+                ious.extend((inter / np.maximum(union, 1)).tolist())
+            out[cam] = {"sil_mse": round(float(np.mean(mses)), 4),
+                        "sil_iou": round(float(np.mean(ious)), 4)}
+        return out
 
-    before = sil_iou(state)
-    log(f"derender random-init sil IoU: {before}")
+    before = sil_metrics(state)
+    log(f"derender random-init: {before}")
 
     step = jax.jit(trainer.make_train_step())
     curve = []
@@ -475,8 +493,8 @@ def phase_derender(args, root, frames):
             log(f"derender it {it}: total {curve[-1]}")
     wall = time.time() - t0
 
-    after = sil_iou(state)
-    log(f"derender trained sil IoU: {after}")
+    after = sil_metrics(state)
+    log(f"derender trained: {after}")
     ckpt = os.path.join(args.work, "ckpt_derender")
     save_checkpoint(ckpt, args.derender_iters,
                     {"params": state.params,
@@ -485,11 +503,17 @@ def phase_derender(args, root, frames):
             "render_size": REN, "objects": N,
             "train_wall_s": round(wall, 1),
             "loss_curve_every10": curve,
-            "sil_iou_random": before, "sil_iou_trained": after,
+            "random_init": before, "trained": after,
             "ckpt": ckpt,
             "note": "finetune mode (silhouette REINFORCE + mask loss), "
-                    "no pose GT consumed — pose/mesh/FFD learned from "
-                    "masks alone"}
+                    "no pose GT consumed.  train_cam = the reference's "
+                    "training camera (the objective being optimized); "
+                    "test_cam = the inference zoom-solve camera.  "
+                    "Mask-only-from-scratch fits train_cam along a "
+                    "depth*scale degeneracy that test_cam breaks — the "
+                    "reference NEVER finetunes silhouettes without "
+                    "pose-GT pretraining first (geometry mode), and the "
+                    "synthetic fixture cannot provide pose GT"}
 
 
 # ---------------------------------------------------------------- textural
