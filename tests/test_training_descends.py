@@ -117,7 +117,7 @@ def test_detect_training_descends_through_stages():
 
     state = None
     totals = []
-    for stage, steps in [("heads", 10), ("4+", 10), ("all", 10)]:
+    for stage, steps in [("heads", 15), ("4+", 15), ("all", 15)]:
         trainer = MaskRCNNTrainer(config=cfg, stage=stage,
                                   learning_rate=2e-3)
         match, target_bbox = build_rpn_targets(
@@ -138,11 +138,13 @@ def test_detect_training_descends_through_stages():
             totals.append(total)
     # Measured trajectory on random weights: the first steps sit at a
     # NEUTRAL-INIT artifact (zero logits -> log(2) RPN class loss ~0.9),
-    # the loss then JUMPS as predictions sharpen (~3.3) and descends
-    # steadily from that peak.  Descent is therefore asserted against
-    # the post-warmup window, plus a no-late-blowup guard.
-    warm = totals[3:8]
-    assert _mean(totals[-3:]) < 0.8 * _mean(warm), totals
+    # the loss then JUMPS as predictions sharpen (~2.8-3.3) and descends
+    # steadily from that peak.  The jump's step index moves between runs
+    # (XLA:CPU threaded reductions reassociate, flipping REINFORCE
+    # roi-sampling draws), so a fixed "warm window" straddles it
+    # unpredictably — anchor the descent assertion on the PEAK instead,
+    # plus a no-late-blowup guard.
+    assert _mean(totals[-3:]) < 0.75 * max(totals), totals
     assert max(totals[-5:]) < max(totals), totals
 
 
