@@ -27,8 +27,8 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EDIT_JSON = "/root/reference/assets/vkitti_edit_benchmark.json"
-MATRIX_ROW_KEYS = ("fused", "batched8", "pipelined8", "maskrcnn",
-                   "maskrcnn_pipelined8")
+MATRIX_ROW_KEYS = ("fused", "batched8", "pipelined8", "pipelined16",
+                   "maskrcnn", "maskrcnn_pipelined8")
 
 
 def _git_head():
@@ -212,6 +212,14 @@ def main():
                       key="result_fused_pipelined8",
                       wall_key="fused_pipelined8_chain_s")
             prov["pipelined8"] = dict(stamp)
+        if "pipelined16" in rows:
+            # r5 addition: deeper chunks amortize dispatch further
+            # (measured ~10% over pipelined8 with a back-to-back
+            # control, NOTES_ROUND5)
+            run_fused(out, source="gt", batch_pairs=16, pipeline=True,
+                      key="result_fused_pipelined16",
+                      wall_key="fused_pipelined16_chain_s")
+            prov["pipelined16"] = dict(stamp)
         if "maskrcnn" in rows:
             run_fused(out, source="maskrcnn", batch_pairs=1,
                       key="result_fused_maskrcnn",
